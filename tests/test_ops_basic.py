@@ -1,0 +1,117 @@
+"""Unit tests for the foundational ops layer against torch (CPU) oracles."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+from underwater_image_restoration_tpu import ops
+
+
+def test_conv2d_matches_torch(rng):
+    x = rng.standard_normal((2, 8, 8, 6), dtype=np.float32)
+    m = ops.Conv2d(features=4, kernel_size=3, padding=1)
+    params = m.init(jax.random.key(0), jnp.asarray(x))
+    y = m.apply(params, jnp.asarray(x))
+    w = np.asarray(params["params"]["kernel"])  # HWIO
+    b = np.asarray(params["params"]["bias"])
+    yt = TF.conv2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(w).permute(3, 2, 0, 1),
+        torch.from_numpy(b),
+        padding=1,
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(y), yt.numpy(), atol=1e-5)
+
+
+def test_depthwise_conv_matches_torch(rng):
+    x = rng.standard_normal((1, 8, 8, 4), dtype=np.float32)
+    m = ops.Conv2d(features=4, kernel_size=3, padding=1, groups=4, use_bias=False)
+    params = m.init(jax.random.key(0), jnp.asarray(x))
+    y = m.apply(params, jnp.asarray(x))
+    w = np.asarray(params["params"]["kernel"])  # (3,3,1,4)
+    yt = TF.conv2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(w).permute(3, 2, 0, 1),
+        padding=1,
+        groups=4,
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(y), yt.numpy(), atol=1e-5)
+
+
+def test_conv_transpose_matches_torch(rng):
+    x = rng.standard_normal((1, 4, 4, 3), dtype=np.float32)
+    m = ops.ConvTranspose2d(features=5, kernel_size=2, strides=2)
+    params = m.init(jax.random.key(0), jnp.asarray(x))
+    y = m.apply(params, jnp.asarray(x))
+    assert y.shape == (1, 8, 8, 5)
+    w = np.asarray(params["params"]["kernel"])  # (2,2,in,out)
+    b = np.asarray(params["params"]["bias"])
+    # lax.conv_transpose with no kernel transpose == torch convT with the
+    # spatially-flipped kernel in (in,out) layout
+    wt = torch.from_numpy(w[::-1, ::-1].copy()).permute(2, 3, 0, 1)
+    yt = TF.conv_transpose2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), wt, torch.from_numpy(b), stride=2
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(y), yt.numpy(), atol=1e-5)
+
+
+def test_layernorm_matches_torch(rng):
+    x = rng.standard_normal((2, 10, 16), dtype=np.float32)
+    m = ops.LayerNorm()
+    params = m.init(jax.random.key(0), jnp.asarray(x))
+    y = m.apply(params, jnp.asarray(x))
+    yt = TF.layer_norm(torch.from_numpy(x), (16,), eps=1e-5)
+    np.testing.assert_allclose(np.asarray(y), yt.numpy(), atol=1e-5)
+
+
+def test_pixel_shuffle_roundtrip_and_torch_order(rng):
+    x = rng.standard_normal((1, 4, 4, 8), dtype=np.float32)
+    down = ops.pixel_unshuffle(jnp.asarray(x), 2)
+    assert down.shape == (1, 2, 2, 32)
+    xt = torch.pixel_unshuffle(torch.from_numpy(x).permute(0, 3, 1, 2), 2)
+    np.testing.assert_allclose(
+        np.asarray(down), xt.permute(0, 2, 3, 1).numpy(), atol=1e-6
+    )
+    back = ops.pixel_shuffle(down, 2)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-6)
+
+
+def test_window_partition_reverse_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3), dtype=np.float32))
+    wins = ops.window_partition(x, 4)
+    assert wins.shape == (2 * 4, 4, 4, 3)
+    back = ops.window_reverse(wins, 4, 8, 8)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_shift_window_mask_structure():
+    m = ops.shift_window_mask(8, 8, 4, 2)
+    assert m.shape == (4, 16, 16)
+    # top-left window: fully same-region -> all zeros
+    assert np.all(m[0] == 0)
+    # other windows must contain cross-region -100 entries
+    assert np.any(m[-1] == -100.0)
+    assert set(np.unique(m)).issubset({0.0, -100.0})
+
+
+def test_relative_position_index_range():
+    idx = ops.relative_position_index(8, 8)
+    assert idx.shape == (64, 64)
+    assert idx.min() == 0 and idx.max() == 15 * 15 - 1
+    # symmetry: idx[i, j] + idx[j, i] pairs map to mirrored offsets
+    assert idx[0, 0] == idx[5, 5]
+
+
+def test_gelu_exact():
+    x = jnp.asarray(np.linspace(-3, 3, 13, dtype=np.float32))
+    yt = TF.gelu(torch.from_numpy(np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(ops.gelu(x)), yt.numpy(), atol=1e-6)
+
+
+def test_l2_normalize_matches_torch(rng):
+    x = rng.standard_normal((2, 3, 7), dtype=np.float32)
+    y = ops.l2_normalize(jnp.asarray(x), axis=-1)
+    yt = TF.normalize(torch.from_numpy(x), dim=-1)
+    np.testing.assert_allclose(np.asarray(y), yt.numpy(), atol=1e-6)

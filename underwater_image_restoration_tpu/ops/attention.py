@@ -1,0 +1,108 @@
+"""Attention primitives: windowed (dense + sparse relu²-mix) and channel
+(MDTA-style transposed) attention.
+
+Pure-JAX reference implementations; the Pallas TPU kernels in ``ops/pallas``
+provide fused fast paths with identical numerics (selected via
+``use_pallas=True`` when running on TPU with compatible shapes).
+
+Semantics mirror:
+- ``WindowAttention`` / ``WindowAttention_sparse`` (reference AST.py:68-222)
+- ``WindowAttention_Sparse`` (reference block.py:284-367) — identical math,
+  cross-attention variant takes a concatenated (k,v) token stream.
+- MDTA channel attention core (reference SpectralTransformer.py:92-113).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def sparse_mix_weights(w):
+    """softmax over the learnable 2-vector ``w`` (reference AST.py:211-213)."""
+    e = jnp.exp(w.astype(jnp.float32))
+    s = jnp.sum(e)
+    return e[0] / s, e[1] / s
+
+
+def window_attention_core(
+    q,
+    k,
+    v,
+    bias,
+    *,
+    scale: float,
+    sparse_w=None,
+    mask=None,
+):
+    """Shared windowed-attention math.
+
+    Args:
+      q: (B', H, N, d)    — B' = batch * num_windows
+      k, v: (B', H, Nk, d)
+      bias: (H, N, Nk) relative-position bias (already ratio-repeated).
+      scale: q scaling (head_dim ** -0.5 unless qk_scale given).
+      sparse_w: None for dense softmax; else the learnable (2,) mix vector —
+        attn = w1 * softmax(attn) + w2 * relu(attn)**2.
+      mask: optional (nW, N, Nk) additive mask (shift/window mask, -100/0).
+
+    Returns (B', H, N, d).
+    """
+    bq, nh, n, d = q.shape
+    attn = jnp.einsum(
+        "bhnd,bhmd->bhnm", q.astype(jnp.float32) * scale, k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    attn = attn + bias[None].astype(jnp.float32)
+    if mask is not None:
+        nw = mask.shape[0]
+        attn = attn.reshape(bq // nw, nw, nh, n, -1) + mask[None, :, None].astype(
+            jnp.float32
+        )
+        attn = attn.reshape(bq, nh, n, -1)
+    if sparse_w is None:
+        attn = jax.nn.softmax(attn, axis=-1)
+    else:
+        w1, w2 = sparse_mix_weights(sparse_w)
+        attn0 = jax.nn.softmax(attn, axis=-1)
+        attn1 = jnp.square(jax.nn.relu(attn))
+        attn = attn0 * w1 + attn1 * w2
+    out = jnp.einsum(
+        "bhnm,bhmd->bhnd", attn, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def merge_heads(x):
+    """(B', H, N, d) -> (B', N, H*d) (torch .transpose(1,2).reshape)."""
+    b, h, n, d = x.shape
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, n, h * d)
+
+
+def split_heads(x, num_heads: int):
+    """(B', N, C) -> (B', H, N, C/H)."""
+    b, n, c = x.shape
+    return jnp.transpose(
+        x.reshape(b, n, num_heads, c // num_heads), (0, 2, 1, 3)
+    )
+
+
+def channel_attention_core(q, k, v, temperature):
+    """MDTA 'transposed' attention: softmax over channels, linear in pixels.
+
+    q, k, v: (B, H, c_h, L) — attention matrix is (c_h, c_h).
+    temperature: (1, H, 1, 1) learnable per-head scale
+    (reference SpectralTransformer.py:80,99).
+    """
+    attn = jnp.einsum(
+        "bhcl,bhdl->bhcd", q.astype(jnp.float32), k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    attn = jax.nn.softmax(attn * temperature.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhcd,bhdl->bhcl", attn, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype), attn

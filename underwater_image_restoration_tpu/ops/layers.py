@@ -1,0 +1,181 @@
+"""Foundational NHWC layers built directly on lax convolutions.
+
+These replace torch ``nn.Conv2d / nn.ConvTranspose2d / nn.Linear /
+nn.LayerNorm`` with TPU-native NHWC equivalents.  Writing them on
+``lax.conv_general_dilated`` (instead of flax's Conv) gives exact control of
+padding semantics (torch pads ``k//2``), grouped/depthwise convs, and
+torch-default initialization statistics.
+
+Mixed precision: parameters are stored in ``param_dtype`` (f32) and cast to
+``dtype`` (bf16 on TPU) at use — XLA fuses the casts into the convolutions.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .init import make_torch_bias_init, torch_kernel_init
+
+Dtype = Any
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+class Conv2d(nn.Module):
+    """NHWC conv matching torch Conv2d semantics (torch pads ``padding`` on
+    both sides; groups via feature_group_count).
+
+    Mirrors reference usage such as ``nn.Conv2d(c, c, 3, padding=1, groups=c)``
+    (depthwise, e.g. reference SpectralTransformer.py:82) and the 1x1
+    projections used throughout.
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int], str] = 0
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Any = torch_kernel_init
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.strides)
+        in_ch = x.shape[-1]
+        assert in_ch % self.groups == 0 and self.features % self.groups == 0
+        kshape = (kh, kw, in_ch // self.groups, self.features)
+        kernel = self.param("kernel", self.kernel_init, kshape, self.param_dtype)
+        if self.padding == "same" or self.padding == "SAME":
+            pad = "SAME"
+        else:
+            ph, pw = _pair(self.padding)
+            pad = [(ph, ph), (pw, pw)]
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(sh, sw),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            fan_in = (in_ch // self.groups) * kh * kw
+            bias = self.param(
+                "bias", make_torch_bias_init(fan_in), (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class ConvTranspose2d(nn.Module):
+    """NHWC transposed conv; output size matches torch:
+    ``(H-1)*s - 2p + k``.  (Used by AST's Upsample, reference AST.py:428-443.)
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 2
+    strides: Union[int, Tuple[int, int]] = 2
+    padding: Union[int, Tuple[int, int]] = 0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.strides)
+        ph, pw = _pair(self.padding)
+        in_ch = x.shape[-1]
+        kshape = (kh, kw, in_ch, self.features)
+        kernel = self.param("kernel", torch_kernel_init, kshape, self.param_dtype)
+        y = lax.conv_transpose(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            strides=(sh, sw),
+            padding=[(kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            fan_in = in_ch * kh * kw
+            bias = self.param(
+                "bias", make_torch_bias_init(fan_in), (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class Dense(nn.Module):
+    """torch nn.Linear equivalent (torch-default init statistics)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Any = torch_kernel_init
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_f, self.features), self.param_dtype
+        )
+        y = jnp.matmul(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            preferred_element_type=self.dtype
+            if self.dtype == jnp.float32
+            else jnp.float32,
+        )
+        y = y.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", make_torch_bias_init(in_f), (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the trailing dim, torch eps (1e-5), affine."""
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), self.param_dtype)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def gelu(x):
+    """Exact (erf) GELU — torch nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def leaky_relu(x, negative_slope: float = 0.01):
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+def l2_normalize(x, axis=-1, eps: float = 1e-12):
+    """F.normalize(x, dim=axis): x / max(||x||_2, eps)."""
+    n = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True))
+    return (x.astype(jnp.float32) / jnp.maximum(n, eps)).astype(x.dtype)
