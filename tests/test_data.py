@@ -1,0 +1,141 @@
+"""Data pipeline tests: pairing, determinism, resume, padding, augmentation
+(oracle: torchvision for contrast semantics)."""
+import numpy as np
+import pytest
+
+from underwater_image_restoration_tpu.data import (
+    AugmentConfig,
+    PairedLoader,
+    UIEBDataset,
+    augment_pair_batch,
+    get_dataloaders,
+    synthetic_pair_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def uieb_dirs(tmp_path_factory):
+    """Tiny on-disk UIEB-style tree: train a/ b/ with 11 paired PNGs."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("uieb")
+    raw, ref = synthetic_pair_batch(11, 16, seed=3)
+    for sub, arr in (("a", raw), ("b", ref)):
+        d = root / sub
+        d.mkdir()
+        for i in range(arr.shape[0]):
+            Image.fromarray(arr[i]).save(d / f"{i:03d}_img_.png")
+    return str(root / "a"), str(root / "b")
+
+
+def test_synthetic_batch_shapes():
+    raw, ref = synthetic_pair_batch(2, 32)
+    assert raw.shape == ref.shape == (2, 32, 32, 3)
+    assert raw.dtype == ref.dtype == np.uint8
+    # degradation attenuates red on average
+    assert raw[..., 0].mean() < ref[..., 0].mean()
+
+
+def test_dataset_pairing_and_resize(uieb_dirs):
+    ds = UIEBDataset(*uieb_dirs, image_size=8)
+    assert len(ds) == 11
+    r, g = ds[0]
+    assert r.shape == g.shape == (8, 8, 3) and r.dtype == np.uint8
+
+
+def test_dataset_unpaired_raises(uieb_dirs, tmp_path):
+    import shutil, os
+    lonely = tmp_path / "b2"
+    shutil.copytree(uieb_dirs[1], lonely)
+    os.remove(os.path.join(lonely, sorted(os.listdir(lonely))[0]))
+    with pytest.raises(ValueError):
+        UIEBDataset(uieb_dirs[0], str(lonely))
+
+
+def test_loader_determinism_and_padding(uieb_dirs):
+    mk = lambda: PairedLoader(
+        UIEBDataset(*uieb_dirs, image_size=8), batch_size=4, shuffle=True,
+        seed=7, num_workers=2,
+    )
+    a = [b for b in mk()]
+    b = [b for b in mk()]
+    assert len(a) == 3  # ceil(11/4) with padding
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.raw, y.raw)
+        np.testing.assert_array_equal(x.valid, y.valid)
+    # final batch padded: 11 = 4+4+3
+    assert a[-1].valid.tolist() == [True, True, True, False]
+    assert a[-1].raw.shape == (4, 8, 8, 3)
+    # second epoch shuffles differently
+    ld = mk()
+    e0 = [x.raw.copy() for x in ld]
+    e1 = [x.raw.copy() for x in ld]
+    assert any(not np.array_equal(x, y) for x, y in zip(e0, e1))
+
+
+def test_loader_resume_mid_epoch(uieb_dirs):
+    mk = lambda: PairedLoader(
+        UIEBDataset(*uieb_dirs, image_size=8), batch_size=4, shuffle=True,
+        seed=7, num_workers=2,
+    )
+    full = [b.raw.copy() for b in mk()]
+    ld = mk()
+    it = iter(ld)
+    next(it)  # consume batch 0
+    state = ld.state_dict()
+    del it
+    ld2 = mk()
+    ld2.load_state_dict(state)
+    rest = [b.raw.copy() for b in ld2]
+    assert len(rest) == 2
+    np.testing.assert_array_equal(rest[0], full[1])
+    np.testing.assert_array_equal(rest[1], full[2])
+
+
+def test_get_dataloaders_parity(uieb_dirs):
+    tr, te = get_dataloaders(*uieb_dirs, *uieb_dirs, batch_size=4,
+                             image_size=8, test_batch_size=2)
+    assert len(tr) == 3 and len(te) == 6
+    # test loader ordered, unaugmented
+    first = next(iter(te))
+    ds = UIEBDataset(*uieb_dirs, image_size=8)
+    np.testing.assert_array_equal(first.raw[0], ds[0][0])
+
+
+def test_augment_flip_pair_consistent():
+    raw, ref = synthetic_pair_batch(8, 16, seed=1)
+    rng = np.random.default_rng(0)
+    araw, aref = augment_pair_batch(
+        raw, ref, rng,
+        AugmentConfig(flip_prob=1.0, noise_prob=0.0, contrast_prob=0.0),
+    )
+    # hflip+vflip both applied to both sides identically
+    np.testing.assert_array_equal(araw, raw[:, ::-1, ::-1])
+    np.testing.assert_array_equal(aref, ref[:, ::-1, ::-1])
+
+
+def test_augment_noise_raw_only_and_deterministic():
+    raw, ref = synthetic_pair_batch(4, 16, seed=2)
+    cfg = AugmentConfig(flip_prob=0.0, noise_prob=1.0, contrast_prob=0.0)
+    a1, r1 = augment_pair_batch(raw, ref, np.random.default_rng(5), cfg)
+    a2, r2 = augment_pair_batch(raw, ref, np.random.default_rng(5), cfg)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(r1, ref)  # target untouched
+    assert not np.array_equal(a1, raw)
+
+
+def test_contrast_matches_pil_enhance():
+    """PIL ImageEnhance.Contrast is the semantics torchvision's
+    adjust_contrast mirrors for uint8 (blend with rounded grayscale mean)."""
+    from PIL import Image, ImageEnhance
+
+    raw, _ = synthetic_pair_batch(3, 16, seed=4)
+    from underwater_image_restoration_tpu.data.augment import _adjust_contrast_u8
+
+    factors = np.array([0.7, 1.0, 1.3])
+    ours = _adjust_contrast_u8(raw, factors)
+    for i, f in enumerate(factors):
+        want = np.asarray(
+            ImageEnhance.Contrast(Image.fromarray(raw[i])).enhance(float(f))
+        )
+        assert np.abs(ours[i].astype(int) - want.astype(int)).max() <= 1
