@@ -1,0 +1,219 @@
+"""Trainer tests: optimizer/schedule parity, jitted train/eval steps over a
+virtual 8-device mesh, checkpoint round-trip, and a 2-epoch end-to-end run
+with resume (BASELINE config #1 scale: tiny images, CPU)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from underwater_image_restoration_tpu.core.config import Config
+from underwater_image_restoration_tpu.core.meshes import make_mesh
+from underwater_image_restoration_tpu.data import synthetic_pair_batch
+from underwater_image_restoration_tpu.losses import LossFunction
+from underwater_image_restoration_tpu.models import init_model
+from underwater_image_restoration_tpu.train import (
+    CheckpointManager,
+    ModelTrainer,
+    TrainState,
+    get_optimizer,
+    make_eval_step,
+    make_train_step,
+    multistep_lr,
+    restore_params,
+)
+from underwater_image_restoration_tpu.train.optim import (
+    get_learning_rate,
+    set_learning_rate,
+)
+
+
+def test_multistep_lr_matches_torch_semantics():
+    lr = multistep_lr(1.0, milestones=(1, 100, 250), gamma=0.25)
+    assert lr(0) == 1.0
+    assert lr(1) == 0.25
+    assert lr(99) == 0.25
+    assert lr(100) == 0.0625
+    assert lr(250) == pytest.approx(0.015625)
+
+
+def test_optimizer_lr_injection():
+    tx = get_optimizer("adam", 1e-3)
+    params = {"w": jnp.ones((3, 3))}
+    st = tx.init(params)
+    assert get_learning_rate(st) == pytest.approx(1e-3)
+    st = set_learning_rate(st, 2.5e-4)
+    assert get_learning_rate(st) == pytest.approx(2.5e-4)
+    # update still works after the assignment
+    g = {"w": jnp.ones((3, 3))}
+    up, st2 = tx.update(g, st, params)
+    assert jnp.all(jnp.isfinite(up["w"]))
+
+
+def test_optimizer_matches_torch_adam():
+    """One adam step vs torch.optim.Adam on identical params/grads."""
+    import torch
+
+    w0 = np.random.default_rng(0).standard_normal((4, 4)).astype(np.float32)
+    g0 = np.random.default_rng(1).standard_normal((4, 4)).astype(np.float32)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.Adam([tw], lr=1e-3)
+    tw.grad = torch.from_numpy(g0.copy())
+    opt.step()
+
+    tx = get_optimizer("adam", 1e-3, clip_norm=0.0)
+    p = {"w": jnp.asarray(w0)}
+    st = tx.init(p)
+    up, _ = tx.update({"w": jnp.asarray(g0)}, st, p)
+    ours = np.asarray(p["w"] + up["w"])
+    np.testing.assert_allclose(ours, tw.detach().numpy(), atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model = init_model("SpectralTransformer")
+    lossfn = LossFunction("L1")
+    raw, ref = synthetic_pair_batch(2, 16, seed=0)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16, 16, 3), jnp.float32))
+    return model, lossfn, params, raw, ref
+
+
+def test_train_step_reduces_loss(tiny_setup):
+    model, lossfn, params, raw, ref = tiny_setup
+    tx = get_optimizer("adam", 1e-3)
+    # copy: the jitted step donates its state argument
+    params = jax.tree.map(jnp.copy, params)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(model, lossfn, tx)
+    rng = jax.random.PRNGKey(7)
+    losses = []
+    for _ in range(5):
+        state, m = step(state, jnp.asarray(raw), jnp.asarray(ref), rng)
+        losses.append(float(m["loss"]))
+        assert np.isfinite(m["grad_norm"])
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 5
+
+
+def test_train_step_sharded_matches_single(tiny_setup):
+    """DP over a 2-device mesh must produce the same update as 1 device."""
+    model, lossfn, params, raw, ref = tiny_setup
+    tx = get_optimizer("adam", 1e-3, clip_norm=0.0)
+
+    def run(mesh):
+        state = TrainState(params=jax.tree.map(jnp.copy, params),
+                           opt_state=tx.init(params),
+                           step=jnp.zeros((), jnp.int32))
+        step = make_train_step(model, lossfn, tx, mesh=mesh)
+        # deterministic=False path uses dropout rng; drop rates are 0 in
+        # SpectralTransformer so results are rng-independent
+        state, m = step(state, jnp.asarray(raw), jnp.asarray(ref),
+                        jax.random.PRNGKey(0))
+        return jax.device_get(state.params), float(m["loss"])
+
+    p1, l1 = run(make_mesh(data=1))
+    p2, l2 = run(make_mesh(data=2))
+    assert l1 == pytest.approx(l2, rel=1e-5)
+    flat1 = jax.tree.leaves(p1)
+    flat2 = jax.tree.leaves(p2)
+    for a, b in zip(flat1, flat2):
+        # reduction order differs across device counts; adam normalizes
+        # grads so 1e-4 on params after one 1e-3-lr step is tight
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_eval_step_masks_padding(tiny_setup):
+    model, lossfn, params, raw, ref = tiny_setup
+    ev = make_eval_step(model, lossfn)
+    valid_all = np.array([True, True])
+    valid_one = np.array([True, False])
+    r2 = jax.device_get(ev(params, jnp.asarray(raw), jnp.asarray(ref),
+                           jnp.asarray(valid_all)))
+    r1 = jax.device_get(ev(params, jnp.asarray(raw), jnp.asarray(ref),
+                           jnp.asarray(valid_one)))
+    assert r2["n"] == 2 and r1["n"] == 1
+    # sample 0's psnr contribution is identical
+    raw0 = np.repeat(raw[:1], 2, axis=0)
+    ref0 = np.repeat(ref[:1], 2, axis=0)
+    r0 = jax.device_get(ev(params, jnp.asarray(raw0), jnp.asarray(ref0),
+                           jnp.asarray(valid_all)))
+    assert r0["psnr_sum"] / 2 == pytest.approx(r1["psnr_sum"], rel=1e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_setup):
+    model, lossfn, params, raw, ref = tiny_setup
+    tx = get_optimizer("adam", 1e-3)
+    opt_state = tx.init(params)
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep_best=True)
+    mgr.save(0, params=jax.device_get(params),
+             opt_state=jax.device_get(opt_state), epoch=0, val_loss=0.5,
+             loader_state={"epoch": 0, "batch": 3, "seed": 1})
+    mgr.save(1, params=jax.device_get(params),
+             opt_state=jax.device_get(opt_state), epoch=1, val_loss=0.25,
+             loader_state={"epoch": 1, "batch": 0, "seed": 1})
+    mgr.wait()
+    assert mgr.latest_step() == 1
+    assert mgr.best_step() == 1
+    restored = mgr.restore(template={
+        "params": params, "opt_state": opt_state, "epoch": 0, "loss": 0.0,
+        "loader": {"epoch": 0, "batch": 0, "seed": 0}, "extra": {},
+    })
+    for a, b in zip(jax.tree.leaves(restored["params"]),
+                    jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert restored["loader"]["batch"] == 0 and restored["epoch"] == 1
+    mgr.close()
+    # params-only restore for inference
+    p = restore_params(str(tmp_path / "ck"))
+    assert len(jax.tree.leaves(p)) == len(jax.tree.leaves(params))
+
+
+@pytest.fixture(scope="module")
+def train_dirs(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("run")
+    raw, ref = synthetic_pair_batch(6, 16, seed=5)
+    for split in ("train", "test"):
+        for sub, arr in (("a", raw), ("b", ref)):
+            d = root / split / sub
+            d.mkdir(parents=True)
+            n = 6 if split == "train" else 2
+            for i in range(n):
+                Image.fromarray(arr[i % arr.shape[0]]).save(d / f"{i}_img_.png")
+    return root
+
+
+def test_trainer_end_to_end_and_resume(train_dirs, tmp_path):
+    cfg = Config(
+        arch="SpectralTransformer", lossf="L1", lr=1e-3, max_epoch=2,
+        train_batch_size=2, test_batch_size=2, image_size=16,
+        mesh_data=2, use_wandb=False, checkpoint_dir=str(tmp_path / "ck"),
+        workers=2, print_freq=1, seed=3,
+    )
+    tr = ModelTrainer(
+        str(train_dirs / "train" / "a"), str(train_dirs / "train" / "b"),
+        str(train_dirs / "test" / "a"), str(train_dirs / "test" / "b"),
+    )
+    model, state = tr.train(cfg)
+    assert int(state.step) == 2 * 3  # 6 imgs / batch 2 = 3 steps/epoch
+    runs = os.listdir(cfg.checkpoint_dir)
+    assert len(runs) == 1
+    run_dir = os.path.join(cfg.checkpoint_dir, runs[0])
+    assert os.path.isdir(os.path.join(run_dir, "latest"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    # metrics.jsonl has train + test records
+    import json
+    recs = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    keys = set().union(*[set(r) for r in recs])
+    assert {"train/loss", "train/learning_rate", "test/PSNR",
+            "test/SSIM", "test/loss"} <= keys
+
+    # -- resume for one more epoch -------------------------------------
+    cfg2 = cfg.replace(max_epoch=3, resume=run_dir)
+    model2, state2 = tr.train(cfg2)
+    assert int(state2.step) == 3  # one epoch worth of fresh steps
