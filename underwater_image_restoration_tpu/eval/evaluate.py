@@ -1,0 +1,178 @@
+"""Offline evaluation driver — the CLI replacement for ``eval.ipynb``.
+
+Pipelines reproduced:
+1. ``evaluate_pairs``   — cell ``initial_id``: run the model over the test
+   split, dump pred/ref PNGs ([-1,1] -> u8), per-image float PSNR.
+2. ``infer_directory``  — cell ``e80c94b3``: U45-style unpaired inference,
+   resize 256^2, dump outputs.
+3. ``uiqm_sweep``       — cell ``9a86b5b4``: UIQM over an output directory
+   (cv2-BGR emulation on by default to match the published 4.33).
+4. ``dir_ssim_psnr``    — cell ``aa2ca2a3``: SSIM + grayscale-u8 PSNR over
+   dumped pairs, with the drop-4-lowest-PSNR trimming.
+
+Run as:  python -m underwater_image_restoration_tpu.eval <subcommand> ...
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import numpy as np
+
+from .metrics import (
+    drop_lowest,
+    psnr_float_pm1,
+    psnr_gray_u8,
+    save_img,
+    ssim_pair_u8,
+    to_gray_u8,
+)
+from .uiqm import compute_uiqm
+
+
+def _load_u8(path: str, size: Optional[int]) -> np.ndarray:
+    from ..data.uieb import decode_image
+
+    return decode_image(path, size)
+
+
+def _jit_apply(model, params):
+    import jax
+
+    return jax.jit(lambda x: model.apply(params, x))
+
+
+def evaluate_pairs(model, params, test_raw_dir: str, test_ref_dir: str,
+                   out_pred: str = "test", out_ref: str = "ref",
+                   image_size: int = 1024, batch_log: int = 20):
+    """Returns per-image float-PSNR array; dumps pred/ref PNG pairs."""
+    import jax.numpy as jnp
+
+    from ..data import UIEBDataset
+
+    ds = UIEBDataset(test_raw_dir, test_ref_dir, image_size)
+    apply = _jit_apply(model, params)
+    psnrs = []
+    for i in range(len(ds)):
+        raw_u8, ref_u8 = ds[i]
+        x = (jnp.asarray(raw_u8, jnp.float32)[None] / 255.0 - 0.5) / 0.5
+        y = np.asarray(apply(x))[0].astype(np.float32)
+        ref = (ref_u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+        save_img(y, os.path.join(out_pred, f"{i}.png"))
+        save_img(ref, os.path.join(out_ref, f"{i}.png"))
+        psnrs.append(psnr_float_pm1(ref, y))
+        if (i + 1) % batch_log == 0:
+            print(f"Processed {i + 1}/{len(ds)} test images")
+    psnrs = np.asarray(psnrs)
+    print("Evaluation Results:")
+    print(f"Average PSNR: {psnrs.mean():.2f} dB")
+    return psnrs
+
+
+def infer_directory(model, params, input_dir: str, out_dir: str,
+                    size: int = 256):
+    """U45-style unpaired inference: sorted listing, resize, model, dump."""
+    import jax.numpy as jnp
+
+    apply = _jit_apply(model, params)
+    exts = (".jpg", ".jpeg", ".png", ".bmp", ".tiff")
+    files = sorted(f for f in os.listdir(input_dir)
+                   if f.lower().endswith(exts))
+    for idx, f in enumerate(files):
+        u8 = _load_u8(os.path.join(input_dir, f), size)
+        x = (jnp.asarray(u8, jnp.float32)[None] / 255.0 - 0.5) / 0.5
+        y = np.asarray(apply(x))[0].astype(np.float32)
+        save_img(y, os.path.join(out_dir, f"{idx}.png"))
+    return len(files)
+
+
+def uiqm_sweep(image_dir: str, size: int = 256, emulate_cv2: bool = True):
+    """UIQM over every image in a directory (resized to size^2)."""
+    vals = []
+    for f in sorted(os.listdir(image_dir)):
+        u8 = _load_u8(os.path.join(image_dir, f), size)
+        vals.append(compute_uiqm(u8, emulate_cv2=emulate_cv2)[0])
+    vals = np.asarray(vals)
+    print("UIQM on {0} samples {1} ± {2}".format(
+        len(vals), np.round(vals.mean(), 3), np.round(vals.std(), 3)))
+    return vals
+
+
+def dir_ssim_psnr(gen_dir: str, gt_dir: str, size: int = 256,
+                  drop_n: int = 4):
+    """SSIM + grayscale PSNR over same-named dumped pairs; PSNR average
+    drops the ``drop_n`` lowest samples (notebook quirk)."""
+    ssims, psnrs = [], []
+    for f in sorted(os.listdir(gen_dir)):
+        gen = _load_u8(os.path.join(gen_dir, f), size)
+        gt = _load_u8(os.path.join(gt_dir, f), size)
+        ssims.append(ssim_pair_u8(gen, gt))
+        psnrs.append(psnr_gray_u8(to_gray_u8(gt), to_gray_u8(gen)))
+    ssims = np.asarray(ssims)
+    trimmed = drop_lowest(np.asarray(psnrs), drop_n)
+    print("SSIM on {0} samples {1} ± {2}".format(
+        len(ssims), np.round(ssims.mean(), 3), np.round(ssims.std(), 3)))
+    print("PSNR on {0} samples {1} ± {2}".format(
+        len(trimmed), np.round(trimmed.mean(), 3), np.round(trimmed.std(), 3)))
+    return ssims, np.asarray(psnrs)
+
+
+def _load_model(args):
+    from ..core.config import Config
+    from ..obs.visualiser import load_model_from_weights
+
+    cfg = Config(arch=args.arch, use_dwt=args.use_dwt)
+    return load_model_from_weights(args.weights, cfg, args.arch)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="underwater_image_restoration_tpu.eval")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("pairs", help="UIEB test sweep (eval.ipynb cell 1)")
+    pe.add_argument("--weights", required=True)
+    pe.add_argument("-a", "--arch", default="NewBigModel")
+    pe.add_argument("--use-dwt", default="Wavelet")
+    pe.add_argument("--test-raw", required=True)
+    pe.add_argument("--test-ref", required=True)
+    pe.add_argument("--image-size", type=int, default=1024)
+    pe.add_argument("--out-pred", default="test")
+    pe.add_argument("--out-ref", default="ref")
+
+    pi = sub.add_parser("infer", help="U45 inference (cell 2)")
+    pi.add_argument("--weights", required=True)
+    pi.add_argument("-a", "--arch", default="NewBigModel")
+    pi.add_argument("--use-dwt", default="Wavelet")
+    pi.add_argument("--input", required=True)
+    pi.add_argument("--out", default="uTest")
+    pi.add_argument("--size", type=int, default=256)
+
+    pu = sub.add_parser("uiqm", help="UIQM sweep (cell 3)")
+    pu.add_argument("--dir", required=True)
+    pu.add_argument("--size", type=int, default=256)
+    pu.add_argument("--rgb", action="store_true",
+                    help="disable the cv2-BGR emulation quirk")
+
+    ps = sub.add_parser("ssim-psnr", help="pairs SSIM/PSNR (cell 4)")
+    ps.add_argument("--gen", required=True)
+    ps.add_argument("--gt", required=True)
+    ps.add_argument("--size", type=int, default=256)
+    ps.add_argument("--drop", type=int, default=4)
+
+    args = p.parse_args(argv)
+    if args.cmd == "pairs":
+        model, params = _load_model(args)
+        return evaluate_pairs(model, params, args.test_raw, args.test_ref,
+                              args.out_pred, args.out_ref, args.image_size)
+    if args.cmd == "infer":
+        model, params = _load_model(args)
+        return infer_directory(model, params, args.input, args.out, args.size)
+    if args.cmd == "uiqm":
+        return uiqm_sweep(args.dir, args.size, emulate_cv2=not args.rgb)
+    if args.cmd == "ssim-psnr":
+        return dir_ssim_psnr(args.gen, args.gt, args.size, args.drop)
+
+
+if __name__ == "__main__":
+    main()
