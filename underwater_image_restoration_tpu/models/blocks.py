@@ -41,7 +41,7 @@ from ..ops import (
     relative_position_index,
     shift_window_mask,
     split_heads,
-    window_attention_core,
+    window_attention,
     window_partition,
     window_reverse,
 )
@@ -254,7 +254,7 @@ class WindowAttentionSparse(nn.Module):
             if self.sparse
             else None
         )
-        out = window_attention_core(
+        out = window_attention(
             q, k, v, bias, scale=scale, sparse_w=sparse_w, mask=mask
         )
         out = merge_heads(out)

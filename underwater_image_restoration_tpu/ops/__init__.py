@@ -28,6 +28,7 @@ from .attention import (
     merge_heads,
     split_heads,
     sparse_mix_weights,
+    window_attention,
     window_attention_core,
 )
 from . import spectral
@@ -57,6 +58,7 @@ __all__ = [
     "merge_heads",
     "split_heads",
     "sparse_mix_weights",
+    "window_attention",
     "window_attention_core",
     "spectral",
 ]

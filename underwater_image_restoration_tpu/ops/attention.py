@@ -13,6 +13,7 @@ Semantics mirror:
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -73,6 +74,30 @@ def window_attention_core(
         preferred_element_type=jnp.float32,
     )
     return out.astype(q.dtype)
+
+
+def _pallas_enabled() -> bool:
+    if os.environ.get("UIRT_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def window_attention(q, k, v, bias, *, scale: float, sparse_w=None,
+                     mask=None):
+    """Dispatcher: fused Pallas kernel on TPU (ops/pallas.py), pure-JAX core
+    elsewhere.  Identical numerics; UIRT_NO_PALLAS=1 forces the JAX path."""
+    if _pallas_enabled():
+        from . import pallas
+
+        return pallas.window_attention(
+            q, k, v, bias, scale=scale, sparse_w=sparse_w, mask=mask
+        )
+    return window_attention_core(
+        q, k, v, bias, scale=scale, sparse_w=sparse_w, mask=mask
+    )
 
 
 def merge_heads(x):
