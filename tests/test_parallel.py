@@ -1,0 +1,150 @@
+"""Context-parallel primitives over the virtual 8-device CPU mesh: halo
+exchange, distributed shift-roll, sharded window attention, sharded FFT —
+each must equal its single-device counterpart exactly."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from underwater_image_restoration_tpu.core.meshes import CONTEXT_AXIS, make_mesh
+from underwater_image_restoration_tpu.ops.attention import (
+    window_attention_core,
+)
+from underwater_image_restoration_tpu.ops.windows import (
+    shift_window_mask,
+    window_partition,
+    window_reverse,
+)
+from underwater_image_restoration_tpu.parallel import (
+    cp_shift_roll,
+    cp_window_attention,
+    halo_exchange,
+    sharded_fft2,
+    sharded_ifft2,
+    spatial_sharding,
+)
+from underwater_image_restoration_tpu.parallel.context import cp_unshift_roll
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(data=2, context=4)
+
+
+def _img(b=2, h=32, w=16, c=4, seed=0):
+    return jax.random.normal(jax.random.PRNGKey(seed), (b, h, w, c),
+                             jnp.float32)
+
+
+def test_cp_shift_roll_matches_jnp_roll(mesh):
+    x = _img()
+    for shift in (1, 3, 4):
+        f = jax.shard_map(
+            functools.partial(cp_shift_roll, shift=shift),
+            mesh=mesh,
+            in_specs=P("data", CONTEXT_AXIS, None, None),
+            out_specs=P("data", CONTEXT_AXIS, None, None),
+        )
+        got = np.asarray(f(jax.device_put(x, spatial_sharding(mesh))))
+        want = np.asarray(jnp.roll(x, -shift, axis=1))
+        np.testing.assert_allclose(got, want, atol=0)
+        g = jax.shard_map(
+            functools.partial(cp_unshift_roll, shift=shift),
+            mesh=mesh,
+            in_specs=P("data", CONTEXT_AXIS, None, None),
+            out_specs=P("data", CONTEXT_AXIS, None, None),
+        )
+        back = np.asarray(g(jnp.asarray(got)))
+        np.testing.assert_allclose(back, np.asarray(x), atol=0)
+
+
+def test_halo_exchange_strips(mesh):
+    x = _img(b=2, h=32)
+
+    def body(xl):
+        up = halo_exchange(xl, 2, direction="up")
+        down = halo_exchange(xl, 2, direction="down")
+        return jnp.concatenate([up, down], axis=1)
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=P("data", CONTEXT_AXIS, None, None),
+                      out_specs=P("data", CONTEXT_AXIS, None, None))
+    out = np.asarray(f(x))  # per shard: (1, 4, W, C) -> stacked to (1,16,..)
+    xs = np.asarray(x)
+    h_loc = 32 // 4
+    for i in range(4):
+        got_up = out[:, i * 4: i * 4 + 2]
+        want_up = xs[:, ((i + 1) % 4) * h_loc: ((i + 1) % 4) * h_loc + 2]
+        np.testing.assert_allclose(got_up, want_up)
+        got_down = out[:, i * 4 + 2: i * 4 + 4]
+        prev = (i - 1) % 4
+        want_down = xs[:, (prev + 1) * h_loc - 2: (prev + 1) * h_loc]
+        np.testing.assert_allclose(got_down, want_down)
+
+
+def _single_device_window_attention(x, bias, win, heads, scale, sparse_w,
+                                    shift, mask):
+    b, h, w, c = x.shape
+    y = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+    wins = window_partition(y, win)
+    n = win * win
+    toks = wins.reshape(wins.shape[0], n, c)
+    qkv = toks.reshape(toks.shape[0], n, heads, c // heads).transpose(0, 2, 1, 3)
+    out = window_attention_core(qkv, qkv, qkv, bias, scale=scale,
+                                sparse_w=sparse_w, mask=mask)
+    out = out.transpose(0, 2, 1, 3).reshape(wins.shape[0], n, c)
+    out = window_reverse(out.reshape(-1, win, win, c), win, h, w)
+    return jnp.roll(out, (shift, shift), axis=(1, 2)) if shift else out
+
+
+def test_cp_window_attention_unshifted(mesh):
+    x = _img(b=2, h=32, w=16, c=8)
+    bias = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16)) * 0.1
+    got = np.asarray(cp_window_attention(
+        x, bias, mesh=mesh, win_size=4, num_heads=2))
+    want = np.asarray(_single_device_window_attention(
+        x, bias, 4, 2, (8 // 2) ** -0.5, None, 0, None))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_cp_window_attention_shifted_row_roll(mesh):
+    """Row-shift propagates across shard boundaries via the halo ppermute.
+    (The CP primitive shifts rows only; the column shift is shard-local and
+    handled inside the model layer.)"""
+    x = _img(b=2, h=32, w=16, c=8, seed=3)
+    bias = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16)) * 0.1
+    sparse_w = jnp.asarray([0.3, -0.2])
+    got = np.asarray(cp_window_attention(
+        x, bias, mesh=mesh, win_size=4, num_heads=2, shift=2,
+        sparse_w=sparse_w))
+
+    # single-device oracle: roll rows by -2, attend, roll back
+    y = jnp.roll(x, -2, axis=1)
+    want = _single_device_window_attention(
+        y, bias, 4, 2, (8 // 2) ** -0.5, sparse_w, 0, None)
+    want = np.asarray(jnp.roll(want, 2, axis=1))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_cp_window_attention_with_mask(mesh):
+    x = _img(b=2, h=32, w=16, c=8, seed=4)
+    bias = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 16)) * 0.1
+    mask = jnp.asarray(shift_window_mask(32, 16, 4, 2))
+    got = np.asarray(cp_window_attention(
+        x, bias, mesh=mesh, win_size=4, num_heads=2, mask=mask))
+    want = np.asarray(_single_device_window_attention(
+        x, bias, 4, 2, (8 // 2) ** -0.5, None, 0, mask))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sharded_fft2_roundtrip_and_equality(mesh):
+    x = _img(b=2, h=32, w=16, c=4, seed=6)
+    xd = jax.device_put(x, spatial_sharding(mesh))
+    got = np.asarray(sharded_fft2(xd, mesh))
+    want = np.asarray(jnp.fft.fft2(x.astype(jnp.complex64), axes=(1, 2)))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+    back = np.asarray(sharded_ifft2(jnp.asarray(got), mesh))
+    np.testing.assert_allclose(back.real, np.asarray(x), atol=1e-4)

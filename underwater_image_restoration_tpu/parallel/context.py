@@ -1,0 +1,193 @@
+"""Context-parallel primitives over the ('data','context') mesh.
+
+All functions here are written to run INSIDE ``shard_map`` over the
+'context' axis (they use ``ppermute`` / ``all_to_all``), with thin
+driver wrappers that set up the shard_map for direct use.
+
+Sequence length for these models is the pixel count (L = H*W, up to ~1M at
+the reference's 1024^2 training resolution — SURVEY.md §5 long-context).
+The reference scales L only algorithmically (8x8 windows, channel
+attention); here the window axis itself is sharded across chips:
+
+- rows of the NHWC image are split over 'context' (each shard holds
+  H/n_ctx full-width row bands, a multiple of the window size);
+- unshifted window attention needs NO communication;
+- shifted windows (reference AST.py:597-617 cyclic roll) need exactly one
+  ``shift_size``-row halo strip moved to the previous neighbor — a single
+  ppermute over ICI, O(shift/H) of the activation bytes;
+- the spectral models' global FFTs decompose into FFT-over-W locally,
+  all_to_all transpose, FFT-over-H locally (``sharded_fft2``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.meshes import CONTEXT_AXIS
+from ..ops.attention import window_attention_core
+from ..ops.windows import window_partition, window_reverse
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC with the H (row) axis split over 'context' and batch over
+    'data'."""
+    return NamedSharding(mesh, P("data", CONTEXT_AXIS, None, None))
+
+
+# --------------------------------------------------------------------------
+# halo exchange
+# --------------------------------------------------------------------------
+def halo_exchange(x_local, halo: int, axis_name: str = CONTEXT_AXIS,
+                  direction: str = "up"):
+    """Move a ``halo``-row boundary strip to the neighboring shard.
+
+    direction="up": each shard receives the FIRST ``halo`` rows of the NEXT
+    shard (wrapping), i.e. what a cyclic roll by -halo needs.
+    direction="down": each shard receives the LAST ``halo`` rows of the
+    PREVIOUS shard (for roll by +halo).
+
+    x_local: (B, H_loc, W, C) local block.  Returns the (B, halo, W, C)
+    strip received over ICI.
+    """
+    n = jax.lax.axis_size(axis_name)
+    if direction == "up":
+        strip = x_local[:, :halo]
+        perm = [(i, (i - 1) % n) for i in range(n)]  # send to previous
+    else:
+        strip = x_local[:, -halo:]
+        perm = [(i, (i + 1) % n) for i in range(n)]  # send to next
+    return jax.lax.ppermute(strip, axis_name, perm)
+
+
+def cp_shift_roll(x_local, shift: int, axis_name: str = CONTEXT_AXIS):
+    """Distributed jnp.roll(x, -shift, axis=1) for the H-sharded image —
+    the cyclic shift of SW-MSA (reference AST.py:597).  One ppermute."""
+    if shift == 0:
+        return x_local
+    incoming = halo_exchange(x_local, shift, axis_name, direction="up")
+    return jnp.concatenate([x_local[:, shift:], incoming], axis=1)
+
+
+def cp_unshift_roll(x_local, shift: int, axis_name: str = CONTEXT_AXIS):
+    """Inverse roll (+shift, reference AST.py:613)."""
+    if shift == 0:
+        return x_local
+    incoming = halo_exchange(x_local, shift, axis_name, direction="down")
+    return jnp.concatenate([incoming, x_local[:, :-shift]], axis=1)
+
+
+# --------------------------------------------------------------------------
+# context-parallel window attention
+# --------------------------------------------------------------------------
+def _cp_window_attention_local(
+    x_local, bias, sparse_w, mask_local, *, win_size: int, num_heads: int,
+    scale: float, shift: int, axis_name: str,
+):
+    """Runs inside shard_map: shift roll (1 ppermute) -> local window
+    attention -> unshift roll (1 ppermute).  qkv here are identity
+    projections of x (projection weights live in the model layer; this
+    primitive parallelizes the attention core itself)."""
+    b, h_loc, w, c = x_local.shape
+    y = cp_shift_roll(x_local, shift, axis_name)
+    wins = window_partition(y, win_size)            # (B*nW_loc, ws, ws, C)
+    n = win_size * win_size
+    toks = wins.reshape(wins.shape[0], n, c)
+    d = c // num_heads
+    qkv = toks.reshape(toks.shape[0], n, num_heads, d).transpose(0, 2, 1, 3)
+    out = window_attention_core(qkv, qkv, qkv, bias, scale=scale,
+                                sparse_w=sparse_w, mask=mask_local)
+    out = out.transpose(0, 2, 1, 3).reshape(wins.shape[0], n, c)
+    out = window_reverse(out.reshape(-1, win_size, win_size, c),
+                         win_size, h_loc, w)
+    return cp_unshift_roll(out, shift, axis_name)
+
+
+def cp_window_attention(
+    x, bias, *, mesh: Mesh, win_size: int = 8, num_heads: int = 1,
+    scale: Optional[float] = None, sparse_w=None, shift: int = 0,
+    mask=None,
+):
+    """Window self-attention with the spatial row axis sharded over
+    'context' and batch over 'data'.
+
+    x: (B, H, W, C) global array.  H/n_ctx must be a multiple of win_size.
+    mask: optional (nW, N, N) global shift mask; rows of windows are
+    distributed, so each shard gets its nW/n_ctx contiguous slice.
+    Semantics match the single-device path exactly (tests assert equality).
+    """
+    b, h, w, c = x.shape
+    n_ctx = mesh.shape[CONTEXT_AXIS]
+    if (h // n_ctx) % win_size:
+        raise ValueError(
+            f"H/n_ctx = {h}/{n_ctx} not a multiple of win_size={win_size}")
+    scale = (c // num_heads) ** -0.5 if scale is None else scale
+    mask_in = mask if mask is not None else jnp.zeros((n_ctx, 1, 1),
+                                                      jnp.float32)
+
+    use_sparse = sparse_w is not None
+    use_mask = mask is not None
+
+    def body(xl, bl, swl, ml):
+        # placeholders must degrade to None (zeros sparse_w would still mix)
+        return _cp_window_attention_local(
+            xl, bl, swl if use_sparse else None, ml if use_mask else None,
+            win_size=win_size, num_heads=num_heads,
+            scale=scale, shift=shift, axis_name=CONTEXT_AXIS)
+
+    sw_in = sparse_w if sparse_w is not None else jnp.zeros((2,), jnp.float32)
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", CONTEXT_AXIS, None, None), P(), P(),
+                  (P(CONTEXT_AXIS, None, None) if mask is not None else P())),
+        out_specs=P("data", CONTEXT_AXIS, None, None),
+    )
+    return f(x, bias, sw_in, mask_in)
+
+
+# --------------------------------------------------------------------------
+# distributed 2D FFT (transpose decomposition)
+# --------------------------------------------------------------------------
+def _fft2_local(x_local, axis_name: str, inverse: bool):
+    """Inside shard_map: x_local (B, H_loc, W, C) complex/real, H sharded.
+    FFT over W locally -> all_to_all to shard W instead of H -> FFT over H
+    locally -> all_to_all back."""
+    fft = jnp.fft.ifft if inverse else jnp.fft.fft
+    y = fft(x_local.astype(jnp.complex64), axis=2)        # along full W
+    n = jax.lax.axis_size(axis_name)
+    b, h_loc, w, c = y.shape
+    # split W into n chunks, all_to_all: concat H chunks / scatter W chunks
+    y = y.reshape(b, h_loc, n, w // n, c)
+    y = jax.lax.all_to_all(y, axis_name, split_axis=2, concat_axis=1,
+                           tiled=False)                    # (B, n, h_loc, W/n, C)?
+    y = y.reshape(b, h_loc * n, w // n, c)
+    y = fft(y, axis=1)                                     # along full H
+    y = y.reshape(b, n, h_loc, w // n, c)
+    y = jax.lax.all_to_all(y, axis_name, split_axis=1, concat_axis=2,
+                           tiled=False)
+    return y.reshape(b, h_loc, w, c)
+
+
+def sharded_fft2(x, mesh: Mesh):
+    """jnp.fft.fft2 over (H, W) of a row-sharded NHWC array, via two local
+    FFTs + two all_to_all transposes over ICI."""
+    f = jax.shard_map(
+        functools.partial(_fft2_local, axis_name=CONTEXT_AXIS, inverse=False),
+        mesh=mesh,
+        in_specs=P("data", CONTEXT_AXIS, None, None),
+        out_specs=P("data", CONTEXT_AXIS, None, None),
+    )
+    return f(x)
+
+
+def sharded_ifft2(x, mesh: Mesh):
+    f = jax.shard_map(
+        functools.partial(_fft2_local, axis_name=CONTEXT_AXIS, inverse=True),
+        mesh=mesh,
+        in_specs=P("data", CONTEXT_AXIS, None, None),
+        out_specs=P("data", CONTEXT_AXIS, None, None),
+    )
+    return f(x)
