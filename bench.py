@@ -4,7 +4,8 @@
 Workload = the README's canonical config (README.md:121): SpectralTransformer,
 L1withColor loss, 256^2 pairs — one fully fused jitted train step (uint8
 normalize + forward + loss + grad + global-norm clip + adam) in bf16 compute /
-f32 params, batch 16, single chip.
+f32 params, per-block remat, batch 32 (the single-chip HBM sweet spot:
+8/no-remat -> 1242 img/s, 32/remat -> ~3800 img/s), single chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -22,7 +23,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-BATCH = 8
+BATCH = 32
 SIZE = 256
 WARMUP = 3
 STEPS = 20
@@ -37,7 +38,7 @@ def main():
         TrainState, get_optimizer, make_train_step,
     )
 
-    model = init_model("SpectralTransformer", dtype=jnp.bfloat16)
+    model = init_model("SpectralTransformer", dtype=jnp.bfloat16, remat=True)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
     )

@@ -159,18 +159,25 @@ class BasicASTLayer(nn.Module):
     att: bool = False
     sparse_att: bool = False
     dtype: object = jnp.float32
+    remat: bool = False  # per-block remat (the reference's dormant
+    #                      use_checkpoint hook, AST.py:673-676, made real)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        def apply_block(block, y):
+            return block(y, deterministic=deterministic)
+
+        apply_fn = nn.remat(apply_block) if self.remat else apply_block
         for i in range(self.depth):
             shift = (self.win_size // 2) if (self.shift_flag and i % 2 == 1) else 0
             dp = self.drop_path[i] if i < len(self.drop_path) else self.drop_path[-1]
-            x = ASTTransformerBlock(
+            block = ASTTransformerBlock(
                 dim=self.dim, input_resolution=self.input_resolution,
                 num_heads=self.num_heads, win_size=self.win_size, shift_size=shift,
                 drop_path=float(dp), token_mlp=self.token_mlp, att=self.att,
                 sparse_att=self.sparse_att, dtype=self.dtype, name=f"block_{i}",
-            )(x, deterministic=deterministic)
+            )
+            x = apply_fn(block, x)
         return x
 
 
@@ -189,6 +196,7 @@ class AST(nn.Module):
     token_mlp: str = "leff"
     shift_flag: bool = True
     dtype: object = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -203,7 +211,8 @@ class AST(nn.Module):
                 dim=dim, input_resolution=reso, depth=depth, num_heads=heads,
                 win_size=self.win_size, drop_path=tuple(dpr),
                 token_mlp=self.token_mlp, shift_flag=self.shift_flag, att=att,
-                sparse_att=sparse, dtype=self.dtype, name=name,
+                sparse_att=sparse, dtype=self.dtype, remat=self.remat,
+                name=name,
             )(y, deterministic=deterministic)
 
         y = ASTInputProj(e, dtype=self.dtype, name="input_proj")(x.astype(self.dtype))

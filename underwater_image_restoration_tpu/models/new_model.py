@@ -171,6 +171,7 @@ class _NewFamilyBase(nn.Module):
     token_mlp: str = "leff"
     blocks_per_level: int = 1
     dtype: object = jnp.float32
+    remat: bool = False  # per-block rematerialization for HBM headroom
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -179,31 +180,41 @@ class _NewFamilyBase(nn.Module):
         tm = self.token_mlp
         enc_dpr = np.linspace(0.0, self.drop_path_rate, 4)
 
+        def apply1(block, y):
+            return block(y, deterministic=deterministic)
+
+        def apply2(block, y, skip):
+            return block(y, enc_out=skip, deterministic=deterministic)
+
+        if self.remat:
+            apply1 = nn.remat(apply1)
+            apply2 = nn.remat(apply2)
+
         def enc(y, level, dim):
-            y = EncoderBlock(
+            y = apply1(EncoderBlock(
                 dim=dim, token_mlp=tm, freq_mlp=tm, drop_path=float(enc_dpr[level]),
                 use_dwt=self.use_dwt, dtype=self.dtype, name=f"encoder_{level}",
-            )(y, deterministic=deterministic)
+            ), y)
             if self.blocks_per_level > 1:
                 # second block uses enc_dpr[0] (reference model.py:295,304,...)
-                y = EncoderBlock(
+                y = apply1(EncoderBlock(
                     dim=dim, token_mlp=tm, freq_mlp=tm, drop_path=float(enc_dpr[0]),
                     use_dwt=self.use_dwt, dtype=self.dtype, name=f"encoder_{level}_1",
-                )(y, deterministic=deterministic)
+                ), y)
             return y
 
         def dec(y, level, dim, reso, ratio, skip):
-            y = DecoderBlock(
+            y = apply2(DecoderBlock(
                 dim=dim, input_resolution=reso, token_mlp=tm, enc_out=True,
                 freq_attn_win_ratio=ratio, use_dwt=self.use_dwt, dtype=self.dtype,
                 name=f"decoder_{level}",
-            )(y, enc_out=skip, deterministic=deterministic)
+            ), y, skip)
             if self.blocks_per_level > 1:
-                y = DecoderBlock(
+                y = apply1(DecoderBlock(
                     dim=dim, input_resolution=reso, token_mlp=tm, enc_out=False,
                     freq_attn_win_ratio=2, use_dwt=self.use_dwt, dtype=self.dtype,
                     name=f"decoder_{level}_1",
-                )(y, deterministic=deterministic)
+                ), y)
             return y
 
         y = InputProjection(out_channels=e, dtype=self.dtype, name="input_proj")(

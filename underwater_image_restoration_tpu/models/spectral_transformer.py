@@ -234,15 +234,20 @@ class SpectralTransformer(nn.Module):
     num_refinement: int = 4
     expansion_factor: float = 2.66
     dtype: object = jnp.float32
+    # per-block rematerialization: backward recomputes each block's forward
+    # instead of storing its activations — realizes the reference's dormant
+    # use_checkpoint hook (AST.py:673-676) and fits large res/batch in HBM
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         nb, nh, ch = self.num_blocks, self.num_heads, self.channels
         ef = self.expansion_factor
+        block_cls = nn.remat(SpectralBlock) if self.remat else SpectralBlock
 
         def stage(y, n, c, heads, name):
             for i in range(n):
-                y = SpectralBlock(c, heads, ef, dtype=self.dtype, name=f"{name}_{i}")(y)
+                y = block_cls(c, heads, ef, dtype=self.dtype, name=f"{name}_{i}")(y)
             return y
 
         fo = Conv2d(ch[0], 3, padding=1, use_bias=False, dtype=self.dtype,

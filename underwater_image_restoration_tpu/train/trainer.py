@@ -192,7 +192,8 @@ class ModelTrainer:
                 f"train_batch_size={cfg.train_batch_size} not divisible by "
                 f"data-parallel size {n_data}"
             )
-        model = init_model(arch, use_dwt=cfg.use_dwt, dtype=_compute_dtype(cfg))
+        model = init_model(arch, use_dwt=cfg.use_dwt, dtype=_compute_dtype(cfg),
+                           remat=cfg.remat)
         rng = jax.random.PRNGKey(cfg.seed)
         sample = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
         params = jax.jit(model.init)(rng, sample)
@@ -244,8 +245,9 @@ class ModelTrainer:
         explog = ExperimentLogger(cfg, save_dir=run_dir)
         schedule = multistep_lr(lr)
 
-        train_step = make_train_step(model, lossfn, tx, mesh=mesh,
-                                     remat=cfg.remat)
+        # remat is handled per-block inside the models (init_model above);
+        # make_train_step's coarse remat stays available for custom models
+        train_step = make_train_step(model, lossfn, tx, mesh=mesh)
         eval_step = make_eval_step(model, lossfn, mesh=mesh)
         data_sh = NamedSharding(mesh, P(DATA_AXIS))
         put = lambda a: jax.device_put(jnp.asarray(a), data_sh)
