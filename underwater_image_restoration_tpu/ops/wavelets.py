@@ -169,8 +169,10 @@ def idwt2d(x):
     """Reference-semantics IDWT.  x: (B, H, W, C) -> (B, 2H, 2W, C).
 
     Input band layout [ll*C/4, lh*C/4, hl*C/4, hh*C/4] (DWT output order).
-    Output channel 4g+o = rec-filter o applied to the band sum of channel g
-    (see module docstring for the derivation from wave_modules.py:59-77).
+    Output channel 4g+o = rec-filter o applied to the sum of the CONSECUTIVE
+    input channels [4g:4g+4] — the reference's interleaving rearranges cancel
+    out (wave_modules.py:68-71 both use '(n c)'), so the grouped
+    conv_transpose consumes consecutive quadruples of the bands-major layout.
     """
     return _idwt2d_fwd_impl(x)
 
@@ -179,9 +181,11 @@ def _idwt2d_fwd_impl(x):
     b, h, w, c = x.shape
     q = c // 4
     xf = x.astype(jnp.float32)
-    # band n of logical channel g lives at channel n*q+g
-    bands = xf.reshape(b, h, w, 4, q)
-    s = jnp.sum(bands, axis=3)  # (B,H,W,q) band-sum per logical channel
+    # group g sums CONSECUTIVE channels [4g:4g+4]: the reference's two
+    # rearranges at wave_modules.py:68-71 cancel out (both use '(n c)'), so
+    # despite the apparent interleave, conv_transpose2d with groups=C/4
+    # consumes consecutive quadruples of the bands-major layout
+    s = jnp.sum(xf.reshape(b, h, w, q, 4), axis=-1)  # (B,H,W,q)
     # out[2h+i, 2w+j, 4g+o] = s[h, w, g] * rec_o[i, j]
     scat = jnp.einsum("bhwg,oij->bhwgoij", s, jnp.asarray(_REC_FILTERS))
     scat = scat.reshape(b, h, w, q * 4 * 4)  # channel order (g, o, i, j)

@@ -124,7 +124,96 @@ def convert_spectral_transformer(sd: Dict[str, np.ndarray]) -> Dict:
     return out
 
 
-_CONVERTERS = {"SpectralTransformer": convert_spectral_transformer}
+# --------------------------------------------------------------------------
+# New* family (model/model.py) and AST (Models/AST.py) share block.py-style
+# module naming; one rule engine converts both.
+# --------------------------------------------------------------------------
+_BLOCKY_DROP = re.compile(
+    r"relative_position_index$"            # static buffer, recomputed
+    r"|\.(dwt|idwt)\."                     # Haar filter buffers, hardcoded
+    r"|\.norm_(q|kv)\."                    # dead (block.py:470,479 commented)
+    r"|\.attn\.to_qkv\.to_kv\."            # self-attn never uses cross-kv
+    r"|\.freq_attn\.to_qkv\.to_kv_from_q\."  # cross-attn never uses self-kv
+)
+_KEEP_LEAVES = {"w", "relative_position_bias_table", "temperature"}
+
+
+def _blocky_convert(sd: Dict[str, np.ndarray], renames) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for key, value in sd.items():
+        if _BLOCKY_DROP.search(key):
+            continue
+        value = np.asarray(value)
+        k = key
+        for pat, rep in renames:
+            k = re.sub(pat, rep, k)
+        parts = k.split(".")
+        leaf = parts[-1]
+        is_deconv = "deconv" in parts
+        if leaf == "weight":
+            if value.ndim == 4 and is_deconv:
+                # torch ConvTranspose2d (in,out,kh,kw) -> flax (kh,kw,in,out)
+                # with spatially flipped taps (ops.ConvTranspose2d contract)
+                v = np.ascontiguousarray(
+                    np.transpose(value, (2, 3, 0, 1))[::-1, ::-1])
+                leaf = "kernel"
+            elif value.ndim == 4:
+                v = _conv_kernel(value)
+                leaf = "kernel"
+            elif value.ndim == 2:
+                v = np.ascontiguousarray(value.T)  # torch Linear (out,in)
+                leaf = "kernel"
+            else:
+                v = value
+                leaf = "scale"  # rank-1 weight == LayerNorm affine
+        elif leaf == "bias":
+            v = value
+        elif leaf in _KEEP_LEAVES:
+            v = value
+        else:
+            raise KeyError(f"unmapped reference parameter: {key}")
+        out["/".join(parts[:-1] + [leaf])] = v
+    return out
+
+
+_NEW_RENAMES = (
+    (r"\.blocks\.(\d+)\.", r".block_\1."),       # (AST shares this)
+    (r"\.to_qkv\.", "."),
+    (r"\.(linear1|linear2|dwconv|conv)\.0\.", r".\1."),
+    (r"^(input_proj|output_proj)\.proj\.(\d)\.", r"\1.proj\2."),
+    (r"\.body\.0\.", ".conv."),
+)
+
+_AST_RENAMES = (
+    (r"\.blocks\.(\d+)\.", r".block_\1."),
+    # AST's LinearProjection (AST.py:42-63) has to_q/to_kv only; self-attn
+    # feeds x into to_kv, which our module names to_kv_from_q
+    (r"\.attn\.qkv\.to_kv\.", ".attn.to_kv_from_q."),
+    (r"\.attn\.qkv\.to_q\.", ".attn.to_q."),
+    (r"\.(linear1|linear2|dwconv)\.0\.", r".\1."),
+    (r"^(input_proj|output_proj)\.proj\.0\.", r"\1.proj."),
+    (r"\.conv\.0\.", ".conv."),      # dowsample_k.conv.0 (reference typo kept)
+    (r"\.deconv\.0\.", ".deconv."),  # upsample_k ConvTranspose
+)
+
+
+def convert_new_family(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """MyModel / MyBigModel / MyBigFRFNModel (reference model/model.py)."""
+    return _blocky_convert(sd, _NEW_RENAMES)
+
+
+def convert_ast(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """AST (reference Models/AST.py:680-921)."""
+    return _blocky_convert(sd, _AST_RENAMES)
+
+
+_CONVERTERS = {
+    "SpectralTransformer": convert_spectral_transformer,
+    "AST": convert_ast,
+    "NewModel": convert_new_family,
+    "NewBigModel": convert_new_family,
+    "NewBigFRFNModel": convert_new_family,
+}
 
 
 def unflatten(flat: Dict[str, np.ndarray]) -> Dict:
