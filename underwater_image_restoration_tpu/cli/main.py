@@ -94,7 +94,8 @@ def _run(parser, args, cfg):
 
         import jax.numpy as jnp
 
-        model, params = load_model_from_weights(model_path, cfg, args.arch)
+        model, params = load_model_from_weights(model_path, cfg, args.arch,
+                                                img_size=args.infer_size)
         apply = jax.jit(lambda x: model.apply(params, x))
         input_files = os.listdir(input_dir)
         print(f"Number of input images: {len(input_files)}")

@@ -118,12 +118,39 @@ def dir_ssim_psnr(gen_dir: str, gt_dir: str, size: int = 256,
     return ssims, np.asarray(psnrs)
 
 
+def loss_sanity(image_path: Optional[str] = None, size: int = 64,
+                vgg_weights: str = ""):
+    """Loss.ipynb parity: evaluate every named loss on (x, x) — identity
+    inputs — and report the floor value (reference src/Loss.ipynb cell 0)."""
+    import jax.numpy as jnp
+
+    from ..losses import LOSS_NAMES, LossFunction
+
+    if image_path:
+        x = _load_u8(image_path, size).astype(np.float32)[None] / 255.0
+    else:
+        from ..data import synthetic_pair_batch
+
+        x = synthetic_pair_batch(1, size)[0].astype(np.float32) / 255.0
+    x = jnp.asarray(x * 2.0 - 1.0)
+    out = {}
+    for name in LOSS_NAMES:
+        fn = LossFunction(name, vgg_weights=vgg_weights)
+        v = fn(x, x)
+        v = v[0] if fn.returns_components else v
+        out[name] = float(v)
+        print(f"{name}: {out[name]:.6g}")
+    return out
+
+
 def _load_model(args):
     from ..core.config import Config
     from ..obs.visualiser import load_model_from_weights
 
     cfg = Config(arch=args.arch, use_dwt=args.use_dwt)
-    return load_model_from_weights(args.weights, cfg, args.arch)
+    size = getattr(args, "image_size", None) or getattr(args, "size", None)
+    return load_model_from_weights(args.weights, cfg, args.arch,
+                                   img_size=size)
 
 
 def main(argv=None):
@@ -154,6 +181,12 @@ def main(argv=None):
     pu.add_argument("--rgb", action="store_true",
                     help="disable the cv2-BGR emulation quirk")
 
+    pl = sub.add_parser("loss-sanity", help="loss(x, x) floor per loss name "
+                                            "(src/Loss.ipynb)")
+    pl.add_argument("--image", default="")
+    pl.add_argument("--size", type=int, default=64)
+    pl.add_argument("--vgg-weights", default="")
+
     ps = sub.add_parser("ssim-psnr", help="pairs SSIM/PSNR (cell 4)")
     ps.add_argument("--gen", required=True)
     ps.add_argument("--gt", required=True)
@@ -170,6 +203,8 @@ def main(argv=None):
         return infer_directory(model, params, args.input, args.out, args.size)
     if args.cmd == "uiqm":
         return uiqm_sweep(args.dir, args.size, emulate_cv2=not args.rgb)
+    if args.cmd == "loss-sanity":
+        return loss_sanity(args.image, args.size, args.vgg_weights)
     if args.cmd == "ssim-psnr":
         return dir_ssim_psnr(args.gen, args.gt, args.size, args.drop)
 

@@ -22,6 +22,9 @@ from .spectral_transformer import SpectralTransformer
 from ..ops.init import trunc_normal_init
 
 _USE_DWT_ARCHS = {"NewModel", "NewBigModel", "NewBigFRFNModel"}
+# size-specialized archs (window masks / drop-path schedules derive from
+# img_size); SpectralTransformer is fully size-agnostic
+_SIZE_ARCHS = {"AST", "NewModel", "NewBigModel", "NewBigFRFNModel"}
 
 _MODEL_FACTORY = {
     "SpectralTransformer": SpectralTransformer,
@@ -47,6 +50,8 @@ def init_model(name: str, *args, **kwargs):
         raise KeyError(f"Unknown model: {name}")
     if "use_dwt" in kwargs and name not in _USE_DWT_ARCHS:
         kwargs.pop("use_dwt")
+    if "img_size" in kwargs and name not in _SIZE_ARCHS:
+        kwargs.pop("img_size")
     return _MODEL_FACTORY[name](*args, **kwargs)
 
 

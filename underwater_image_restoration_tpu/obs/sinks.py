@@ -75,6 +75,17 @@ class WandbSink:
     def log_image(self, image, name: str):
         self._wandb.log({"examples": self._wandb.Image(image, caption=name)})
 
+    def log_model_artifact(self, checkpoint_path: str, name: str):
+        """Upload a checkpoint as a W&B model artifact
+        (reference wandb_logger.py:66-79)."""
+        artifact = self._wandb.Artifact(name=name, type="model")
+        if os.path.isdir(checkpoint_path):
+            artifact.add_dir(checkpoint_path)
+        else:
+            artifact.add_file(checkpoint_path)
+        self._wandb.log_artifact(artifact)
+        print(f"Logged model artifact '{name}' to W&B")
+
     def finish(self):
         self._wandb.finish()
 
@@ -136,6 +147,19 @@ class ExperimentLogger:
             return
         for s in self.sinks:
             s.log_image(image, name)
+
+    def log_model_artifact(self, checkpoint_path, name=None):
+        if self.evaluate:
+            return
+        if name is None:
+            a = self.config
+            name = (f"{getattr(a, 'arch', 'model')}_"
+                    f"{getattr(a, 'lr', 0):.0e}_"
+                    f"{getattr(a, 'train_batch_size', 0)}_"
+                    f"{getattr(a, 'optim', '')}")
+        for s in self.sinks:
+            if hasattr(s, "log_model_artifact"):
+                s.log_model_artifact(checkpoint_path, name)
 
     def watch_model(self, *_a, **_k):
         # reference wandb.watch hooks torch grads (wandb_logger.py:25-27);

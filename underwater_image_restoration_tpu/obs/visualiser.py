@@ -57,13 +57,16 @@ def process_image_using_model(
     return img
 
 
-def load_model_from_weights(ckpt_path: str, config, arch: Optional[str] = None):
+def load_model_from_weights(ckpt_path: str, config, arch: Optional[str] = None,
+                            img_size: Optional[int] = None):
     """Build model + restore params (reference Visualiser.py:64-67).
     Returns (model, params); checkpoint format is the Orbax layout written by
-    ``train.checkpoint``."""
+    ``train.checkpoint``.  ``img_size`` specializes size-dependent archs
+    (AST/New*) to the inference resolution."""
     from ..models import init_model
     from ..train.checkpoint import restore_params
 
-    model = init_model(arch or config.arch, use_dwt=config.use_dwt)
+    model = init_model(arch or config.arch, use_dwt=config.use_dwt,
+                       img_size=img_size or config.image_size)
     params = restore_params(ckpt_path)
     return model, params

@@ -193,7 +193,7 @@ class ModelTrainer:
                 f"data-parallel size {n_data}"
             )
         model = init_model(arch, use_dwt=cfg.use_dwt, dtype=_compute_dtype(cfg),
-                           remat=cfg.remat)
+                           remat=cfg.remat, img_size=cfg.image_size)
         rng = jax.random.PRNGKey(cfg.seed)
         sample = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
         params = jax.jit(model.init)(rng, sample)
@@ -365,7 +365,8 @@ class ModelTrainer:
             self.testInputDir, self.testReferenceDir,
             batch_size=cfg.test_batch_size, image_size=cfg.image_size,
         )
-        model = init_model(cfg.arch, use_dwt=cfg.use_dwt)
+        model = init_model(cfg.arch, use_dwt=cfg.use_dwt,
+                           img_size=cfg.image_size)
         params, _ = best_or_latest_params(model_path)
         eval_step = make_eval_step(model, LossFunction("L1"))
         tot = {"psnr_sum": 0.0, "ssim_sum": 0.0, "n": 0.0}
