@@ -162,3 +162,45 @@ def argument_parser() -> argparse.ArgumentParser:
                         help="inference resize (reference Visualiser.py:20)")
 
     return parser
+
+
+# ---------------------------------------------------------------------------
+# kwargs builders (reference args.py:282-335) — unused by the main path in
+# the reference too, but part of its import surface.  The reference's
+# dataset_kwargs reads a nonexistent ``parsed_args.loss_function``
+# (args.py:303); here it reads the real ``lossf`` flag.
+# ---------------------------------------------------------------------------
+def dataset_kwargs(parsed_args):
+    return {
+        "root": parsed_args.root,
+        "height": parsed_args.height,
+        "width": parsed_args.width,
+        "train_sampler": parsed_args.train_sampler,
+        "random_erase": parsed_args.random_erase,
+        "color_jitter": parsed_args.color_jitter,
+        "color_aug": parsed_args.color_aug,
+        "loss_function": parsed_args.lossf,
+    }
+
+
+def optimizer_kwargs(parsed_args):
+    return {
+        "optim": parsed_args.optim,
+        "lr": parsed_args.lr,
+        "weight_decay": parsed_args.weight_decay,
+        "momentum": parsed_args.momentum,
+        "sgd_dampening": parsed_args.sgd_dampening,
+        "sgd_nesterov": parsed_args.sgd_nesterov,
+        "rmsprop_alpha": parsed_args.rmsprop_alpha,
+        "adam_beta1": parsed_args.adam_beta1,
+        "adam_beta2": parsed_args.adam_beta2,
+    }
+
+
+def lr_scheduler_kwargs(parsed_args):
+    return {
+        "lr_scheduler": parsed_args.lr_scheduler,
+        "stepsize": parsed_args.stepsize,
+        "gamma": parsed_args.gamma,
+        "max_epoch": parsed_args.max_epoch,
+    }
