@@ -148,3 +148,28 @@ def test_sharded_fft2_roundtrip_and_equality(mesh):
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
     back = np.asarray(sharded_ifft2(jnp.asarray(got), mesh))
     np.testing.assert_allclose(back.real, np.asarray(x), atol=1e-4)
+
+
+def test_tp_param_sharding_matches_replicated(mesh):
+    """TP-sharded params (output-feature dims over 'context') must give the
+    same forward as replicated params — XLA inserts the collectives."""
+    import jax.numpy as jnp
+
+    from underwater_image_restoration_tpu.models import init_model
+    from underwater_image_restoration_tpu.parallel import (
+        shard_params_tp,
+        tp_shardings,
+    )
+
+    model = init_model("SpectralTransformer")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(model.apply(params, x))
+
+    sh = tp_shardings(params, mesh)
+    specs = {s.spec for s in jax.tree.leaves(sh)}
+    assert any(CONTEXT_AXIS in str(sp) for sp in specs)  # something sharded
+
+    tp_params = shard_params_tp(params, mesh)
+    got = np.asarray(jax.jit(model.apply)(tp_params, x))
+    np.testing.assert_allclose(got, want, atol=2e-5)

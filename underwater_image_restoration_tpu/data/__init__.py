@@ -19,10 +19,12 @@ from .uieb import UIEBDataset, load_pair_listing
 from .loader import PairedLoader, get_dataloaders
 from .augment import AugmentConfig, augment_pair_batch
 from .manager import DataManager
+from .offline_augment import DataAugmentor
 from .synthetic import synthetic_pair_batch
 
 __all__ = [
     "AugmentConfig",
+    "DataAugmentor",
     "DataManager",
     "PairedLoader",
     "UIEBDataset",

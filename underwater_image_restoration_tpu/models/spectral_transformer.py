@@ -29,6 +29,7 @@ from typing import Sequence
 
 import einops
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops import (
@@ -47,6 +48,75 @@ from ..ops.spectral import (
     fft2,
     spectral_tile_upsample,
 )
+
+
+def inv_mag(x):
+    """Phase-only reconstruction: ifft2(exp(i*angle(fft2(x)))).real
+    (reference SpectralTransformer.py:9-13)."""
+    f = fft2(x.astype(jnp.float32))
+    pha = jnp.exp(1j * jnp.angle(f).astype(jnp.complex64))
+    return jnp.fft.ifft2(pha, axes=(1, 2)).real.astype(x.dtype)
+
+
+class AGSSF(nn.Module):
+    """ECA-style channel gate on the phase-only reconstruction
+    (reference SpectralTransformer.py:15-41).  Defined-but-unused in the
+    reference forward (instantiation commented out at :218); provided here
+    for capability parity and usable via SFCA."""
+
+    channels: int
+    b: int = 1
+    gamma: int = 2
+    dtype: object = jnp.float32
+
+    def _kernel_size(self) -> int:
+        import math
+
+        k = int(abs((math.log2(self.channels) / self.gamma)
+                    + self.b / self.gamma))
+        return k if k % 2 else k + 1
+
+    @nn.compact
+    def __call__(self, x):
+        k = self._kernel_size()
+        y = jnp.mean(inv_mag(x).astype(jnp.float32), axis=(1, 2))  # (B, C)
+        w = self.param("conv", nn.initializers.lecun_normal(),
+                       (k, 1, 1), jnp.float32)  # 1D conv taps (k, in=1, out=1)
+        y = jax.lax.conv_general_dilated(
+            y[:, :, None], w, (1,), [(k // 2, k // 2)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )[..., 0]
+        gate = jax.nn.sigmoid(y)[:, None, None, :]
+        return (x.astype(jnp.float32) * gate).astype(x.dtype)
+
+
+class SFCA(nn.Module):
+    """Dual spatial/frequency channel attention fused by 1x1 + AGSSF
+    (reference SpectralTransformer.py:43-74; defined-but-unused there)."""
+
+    channels: int
+    relu_slope: float = 0.2
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.channels
+        conv = lambda feat, name, k=1, g=1, bias=True: Conv2d(
+            features=feat, kernel_size=k, padding=k // 2, groups=g,
+            use_bias=bias, dtype=self.dtype, name=name)
+        out = conv(2 * c, "conv_1")(x)
+        # reference chunks then re-cats (:62-64) — a no-op, preserved as such
+        out = leaky_relu(out, self.relu_slope)
+        out = leaky_relu(conv(c, "conv_2", k=3, g=c)(out), self.relu_slope)
+        out = out + conv(c, "identity1")(x)
+
+        x_fft = fftn_real_spatial(x)
+        x_fft = gelu(conv(2 * c, "conv_f1")(x_fft))
+        x_fft = conv(c, "conv_f2")(x_fft)
+        recon = ifftn_real_spatial(x_fft) + conv(c, "identity2")(x)
+
+        fused = conv(c, "con2X1")(jnp.concatenate([out, recon], axis=-1))
+        return AGSSF(c, dtype=self.dtype, name="agssf")(fused)
 
 
 class MDTA(nn.Module):

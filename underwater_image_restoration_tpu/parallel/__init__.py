@@ -10,6 +10,7 @@ parallelism** over the 'context' axis for the window-attention models:
 - the global-FFT branches decompose into local FFTs + an all-to-all
   transpose (``sharded_fft2``), the standard distributed-FFT recipe.
 """
+from .tensor import shard_params_tp, tp_shardings
 from .context import (
     cp_shift_roll,
     cp_window_attention,
@@ -25,5 +26,7 @@ __all__ = [
     "halo_exchange",
     "sharded_fft2",
     "sharded_ifft2",
+    "shard_params_tp",
     "spatial_sharding",
+    "tp_shardings",
 ]
