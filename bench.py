@@ -30,7 +30,7 @@ STEPS = 20
 A100_PYTORCH_EST_IMG_PER_SEC = 40.0  # see module docstring
 
 
-def main():
+def _run(batch: int) -> float:
     from underwater_image_restoration_tpu.data import synthetic_pair_batch
     from underwater_image_restoration_tpu.losses import LossFunction
     from underwater_image_restoration_tpu.models import init_model
@@ -51,7 +51,7 @@ def main():
     # pipeline prefetches in parallel during real training)
     batches = []
     for i in range(4):
-        raw, ref = synthetic_pair_batch(BATCH, SIZE, seed=i)
+        raw, ref = synthetic_pair_batch(batch, SIZE, seed=i)
         batches.append((jax.device_put(jnp.asarray(raw)),
                         jax.device_put(jnp.asarray(ref))))
     rng = jax.random.PRNGKey(1)
@@ -67,8 +67,21 @@ def main():
         state, m = step(state, raw, ref, rng)
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
+    return batch * STEPS / dt
 
-    imgs_per_sec = BATCH * STEPS / dt
+
+def main():
+    # the chip is shared behind a tunnel: another tenant's HBM use can OOM
+    # the batch-32 sweet spot, so fall back rather than fail the bench
+    last_err = None
+    for batch in (BATCH, 16, 8):
+        try:
+            imgs_per_sec = _run(batch)
+            break
+        except Exception as e:  # XlaRuntimeError: RESOURCE_EXHAUSTED etc.
+            last_err = e
+    else:
+        raise last_err
     print(json.dumps({
         "metric": "UIEB 256^2 SpectralTransformer train-step throughput",
         "value": round(imgs_per_sec, 2),
