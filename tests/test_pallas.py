@@ -85,3 +85,32 @@ def test_dispatcher_uses_core_on_cpu():
     want = window_attention_core(q, k, v, bias, scale=0.17, sparse_w=w)
     got = dispatch(q, k, v, bias, scale=0.17, sparse_w=w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_pick_g_respects_vmem_budget():
+    from underwater_image_restoration_tpu.ops.pallas import (
+        _VMEM_BUDGET, _pick_g,
+    )
+
+    def padded_per_g(h, n, m, d):
+        r = lambda x, mult: -(-x // mult) * mult
+        return h * (3 * r(n, 8) * r(d, 128) * 6 + r(n, 8) * r(m, 128) * 12
+                    + r(n, 8) * r(d, 128) * 6)
+
+    # AST bottleneck (16 heads) and New* small-head-dim (d=8) shapes — the
+    # two configs that OOM'd scoped VMEM at G=32 on real hardware
+    for h, d in ((16, 32), (4, 8), (1, 32)):
+        g = _pick_g(8192, h=h, n=64, m=64, d=d)
+        assert 1 <= g <= 32
+        assert g * padded_per_g(h, 64, 64, d) <= _VMEM_BUDGET
+    assert _pick_g(8192, h=16, n=64, m=64, d=32) < \
+        _pick_g(8192, h=1, n=64, m=64, d=32)
+
+
+def test_kernel_16_heads_interpret():
+    q, k, v, bias, w = _mk(bq=4, h=16, n=64, m=64, d=32)
+    want = window_attention_core(q, k, v, bias, scale=0.17, sparse_w=w)
+    got = window_attention(q, k, v, bias, scale=0.17, sparse_w=w,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

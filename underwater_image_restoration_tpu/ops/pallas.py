@@ -30,11 +30,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_MAX_G = 32  # windows per grid program (VMEM: 3*G*H*N*d + G*H*N*M f32)
+_MAX_G = 32  # windows per grid program, before the VMEM budget cap
+_VMEM_BUDGET = 14 * 1024 * 1024  # inside the 16MB scoped-vmem limit
+# (the padding-aware estimate below overshoots real usage ~1.5x, so this
+# lands G comfortably under the hardware cap in practice)
 
 
-def _pick_g(n_items: int, max_g: int = _MAX_G) -> int:
-    for g in range(min(max_g, n_items), 0, -1):
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def _pick_g(n_items: int, h: int, n: int, m: int, d: int) -> int:
+    """Largest divisor of n_items (<= 32) whose per-program VMEM footprint
+    fits the budget.  Accounts for TPU tile padding: the LANE (last) dim of
+    every buffer pads to 128, the sublane dim to 8 — small head dims (d=8)
+    inflate 16x, which is what actually bounds G."""
+    d_eff = _round_up(d, 128)
+    m_eff = _round_up(m, 128)
+    n_sub = _round_up(n, 8)
+    # q/k/v in + f32 staging copies (~6 B/elem), two f32 attn matrices +
+    # softmax temp (~12 B/elem), out + staging (~6 B/elem)
+    per_g = h * (3 * n_sub * d_eff * 6 + n_sub * m_eff * 12
+                 + n_sub * d_eff * 6)
+    g_cap = max(1, min(_MAX_G, _VMEM_BUDGET // max(1, per_g)))
+    for g in range(min(g_cap, n_items), 0, -1):
         if n_items % g == 0:
             return g
     return 1
@@ -98,7 +117,7 @@ def _fwd_pallas(q, k, v, bias, sparse_w, mask, *, scale: float,
                                  memory_space=pltpu.SMEM)
 
     if mask is None:
-        g = _pick_g(bq)
+        g = _pick_g(bq, h, n, m, d)
         blk = lambda: pl.BlockSpec((g, h, n, d), lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM)
         blk_kv = lambda: pl.BlockSpec((g, h, m, d), lambda i: (i, 0, 0, 0),
@@ -118,7 +137,7 @@ def _fwd_pallas(q, k, v, bias, sparse_w, mask, *, scale: float,
     # program can block G batch rows of the SAME window
     nw = mask.shape[0]
     b = bq // nw
-    g = _pick_g(b)
+    g = _pick_g(b, h, n, m, d)
     q5 = q.reshape(b, nw, h, n, d)
     k5 = k.reshape(b, nw, h, m, d)
     v5 = v.reshape(b, nw, h, m, d)
