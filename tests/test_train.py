@@ -251,3 +251,28 @@ def test_loss_sanity_cli(capsys):
     assert out["ffl"] == 0.0
     assert out["Luminance"] == 0.0
     assert out["gradient"] == 0.0
+
+
+def test_trainer_fflmix_components(train_dirs, tmp_path):
+    """fflMix returns the 6-tuple (reference losses.py:108-117); the trainer
+    must log the five component losses per batch (ModelTrainer.py:101-126)."""
+    import json
+
+    cfg = Config(
+        arch="SpectralTransformer", lossf="fflMix", lr=1e-3, max_epoch=1,
+        train_batch_size=2, test_batch_size=2, image_size=176,
+        mesh_data=1, use_wandb=False, checkpoint_dir=str(tmp_path / "ck"),
+        workers=1, print_freq=1, seed=3,
+    )
+    tr = ModelTrainer(
+        str(train_dirs / "train" / "a"), str(train_dirs / "train" / "b"),
+        str(train_dirs / "test" / "a"), str(train_dirs / "test" / "b"),
+    )
+    model, state = tr.train(cfg)
+    run_dir = os.path.join(cfg.checkpoint_dir,
+                           os.listdir(cfg.checkpoint_dir)[0])
+    recs = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    keys = set().union(*[set(r) for r in recs])
+    for comp in ("Charbonnier", "Perceptual", "Gradient Loss", "FFL Loss",
+                 "MS_SSIM Loss"):
+        assert f"train/loss_{comp}" in keys, comp
