@@ -136,7 +136,11 @@ def loss_sanity(image_path: Optional[str] = None, size: int = 64,
     out = {}
     for name in LOSS_NAMES:
         fn = LossFunction(name, vgg_weights=vgg_weights)
-        v = fn(x, x)
+        try:
+            v = fn(x, x)
+        except ValueError as e:  # ms_ssim needs >160px inputs
+            print(f"{name}: skipped ({e})")
+            continue
         v = v[0] if fn.returns_components else v
         out[name] = float(v)
         print(f"{name}: {out[name]:.6g}")

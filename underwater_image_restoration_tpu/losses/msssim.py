@@ -93,6 +93,15 @@ def ms_ssim(
     """Multi-scale SSIM, size-averaged scalar.  Requires the smallest scale
     to still fit the window: min(H, W) > (win_size-1) * 2^4."""
     w = np.asarray(weights if weights is not None else _MS_WEIGHTS, np.float32)
+    min_side = min(x.shape[1], x.shape[2])
+    need = (win_size - 1) * 2 ** (len(w) - 1)
+    if min_side <= need:
+        # same guard as pytorch_msssim (assert at ms_ssim entry); without it
+        # the smallest pyramid level underflows and the result is NaN
+        raise ValueError(
+            f"ms_ssim needs image sides > {need} for {len(w)} scales with "
+            f"win_size={win_size}; got {x.shape[1]}x{x.shape[2]}"
+        )
     win = _gaussian_kernel(win_size, win_sigma)
     levels = len(w)
     mcs = []
