@@ -141,6 +141,10 @@ def argument_parser() -> argparse.ArgumentParser:
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize the forward pass in backward "
                              "(jax.checkpoint) to fit large resolutions")
+    parser.add_argument("--no-pallas", action="store_true",
+                        help="disable the fused Pallas attention kernels "
+                             "(sets UIRT_NO_PALLAS=1); the pure-XLA path is "
+                             "numerically identical")
     parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
     parser.add_argument("--profile-dir", type=str, default="",
                         help="write jax.profiler traces here when set")

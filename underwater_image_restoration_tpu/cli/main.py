@@ -30,6 +30,8 @@ def main(argv=None):
 
     if args.use_cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.no_pallas:
+        os.environ["UIRT_NO_PALLAS"] = "1"
 
     print(jax.__version__)
     print(args.evaluate)
