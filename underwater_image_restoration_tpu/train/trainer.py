@@ -248,6 +248,27 @@ class ModelTrainer:
         # remat is handled per-block inside the models (init_model above);
         # make_train_step's coarse remat stays available for custom models
         train_step = make_train_step(model, lossfn, tx, mesh=mesh)
+        first_step_done = False
+
+        def run_step(st, raw_d, ref_d, rng_d):
+            """First step falls back to the pure-XLA attention path if the
+            fused Pallas kernels fail to compile (e.g. the remote compile
+            host OOMs on very large graphs — 512^2 NewBigModel)."""
+            nonlocal train_step, first_step_done
+            if first_step_done:
+                return train_step(st, raw_d, ref_d, rng_d)
+            try:
+                out = train_step(st, raw_d, ref_d, rng_d)
+            except Exception as e:
+                if os.environ.get("UIRT_NO_PALLAS"):
+                    raise
+                print(f"Pallas attention failed to compile "
+                      f"({type(e).__name__}); retrying with UIRT_NO_PALLAS=1")
+                os.environ["UIRT_NO_PALLAS"] = "1"
+                train_step = make_train_step(model, lossfn, tx, mesh=mesh)
+                out = train_step(st, raw_d, ref_d, rng_d)
+            first_step_done = True
+            return out
         eval_step = make_eval_step(model, lossfn, mesh=mesh)
         data_sh = NamedSharding(mesh, P(DATA_AXIS))
         put = lambda a: jax.device_put(jnp.asarray(a), data_sh)
@@ -270,8 +291,8 @@ class ModelTrainer:
                 train_loader.epoch = epoch
                 for bi, batch in enumerate(train_loader):
                     timer.start()
-                    state, m = train_step(state, put(batch.raw),
-                                          put(batch.ref), step_rng)
+                    state, m = run_step(state, put(batch.raw),
+                                        put(batch.ref), step_rng)
                     epoch_metrics.append(m)
                     if (bi + 1) % max(1, cfg.print_freq) == 0:
                         lv, gn = float(m["loss"]), float(m["grad_norm"])
