@@ -77,7 +77,15 @@ def window_attention_core(
 
 
 def _pallas_enabled() -> bool:
+    # Opt-in (UIRT_PALLAS=1): the fused kernel wins 1.6-2.3x on the isolated
+    # attention op, but inside full models XLA fuses attention with adjacent
+    # ops and matches or beats it end-to-end at training batch sizes
+    # (interleaved A/B on one v5e: AST@256 step ~equal at bs8, XLA ~25%
+    # faster at bs32).  The kernel still saves the O(nW*N^2) attention
+    # activations (recompute backward), useful when HBM-bound.
     if os.environ.get("UIRT_NO_PALLAS"):
+        return False
+    if not os.environ.get("UIRT_PALLAS"):
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -87,8 +95,8 @@ def _pallas_enabled() -> bool:
 
 def window_attention(q, k, v, bias, *, scale: float, sparse_w=None,
                      mask=None):
-    """Dispatcher: fused Pallas kernel on TPU (ops/pallas.py), pure-JAX core
-    elsewhere.  Identical numerics; UIRT_NO_PALLAS=1 forces the JAX path."""
+    """Dispatcher: fused Pallas kernel on TPU (ops/pallas.py) when
+    UIRT_PALLAS=1, pure-JAX core otherwise.  Identical numerics."""
     if _pallas_enabled():
         from . import pallas
 

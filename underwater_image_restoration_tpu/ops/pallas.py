@@ -15,10 +15,13 @@ relative-position bias, shift mask, the sparse relu²/softmax mix
   residual policy — so training does not store the O(B·nW·H·N²) attention
   activations.
 
-Dispatch: ``ops.attention.window_attention`` routes here automatically on
-TPU backends (UIRT_NO_PALLAS=1 opts out); elsewhere the pure-JAX core runs.
-Numerics match the core to f32 rounding (same math, same per-window
-reduction order).
+Dispatch: ``ops.attention.window_attention`` routes here on TPU backends
+when UIRT_PALLAS=1 (opt-in).  Measured on one v5e: the isolated op is
+1.6-2.3x faster than XLA's fusion, but inside full models XLA fuses
+attention with its surrounding ops and matches or beats the kernel end to
+end at training batch sizes — so the default stays XLA; opt in when
+HBM-bound (this kernel's recompute backward skips storing the O(nW*N^2)
+attention activations).  Numerics match the core to f32 rounding.
 """
 from __future__ import annotations
 
