@@ -112,3 +112,26 @@ def test_offline_augmentor(tmp_path):
     b1 = np.asarray(Image.open(tmp_path / "b_aug" / "0_aug1.png"))
     np.testing.assert_array_equal(a1, raw[0][::-1, ::-1])
     np.testing.assert_array_equal(b1, refi[0][::-1, ::-1])
+
+
+def test_plain_attention_matches_reference():
+    """The dormant plain Attention (reference AST.py:226-267)."""
+    ast_ref = ref_oracle.load_ast_module()
+    torch.manual_seed(2)
+    tm = ast_ref.Attention(dim=16, num_heads=2).eval()
+
+    from underwater_image_restoration_tpu.models.ast import Attention
+
+    x = np.random.default_rng(5).standard_normal((2, 12, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    m = Attention(dim=16, num_heads=2)
+    lin = lambda mod: {"kernel": jnp.asarray(mod.weight.detach().numpy().T),
+                       "bias": jnp.asarray(mod.bias.detach().numpy())}
+    params = {"params": {
+        "to_q": lin(tm.qkv.to_q),
+        "to_kv": lin(tm.qkv.to_kv),
+        "proj": lin(tm.proj),
+    }}
+    got = np.asarray(m.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)

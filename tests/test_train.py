@@ -218,6 +218,10 @@ def test_trainer_end_to_end_and_resume(train_dirs, tmp_path):
     model2, state2 = tr.train(cfg2)
     assert int(state2.step) == 3  # one epoch worth of fresh steps
 
+    # -- ModelTrainer.evaluate (reference :206-259, fixed) ---------------
+    psnr, ssim = tr.evaluate(cfg, os.path.join(run_dir, "best"))
+    assert np.isfinite(psnr) and 0.0 < ssim <= 1.0
+
 
 def test_ast_train_step_at_custom_size():
     """Size-specialized archs must build at the run's image size

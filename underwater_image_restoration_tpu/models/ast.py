@@ -40,7 +40,37 @@ from ..ops import (
     window_reverse,
 )
 from ..ops.resample import image_to_tokens, tokens_to_image
+from ..ops.attention import merge_heads, split_heads, window_attention_core
 from .blocks import WindowAttentionSparse, make_token_mlp
+from ..ops import Dense
+
+
+class Attention(nn.Module):
+    """Plain (non-windowed, non-sparse) multi-head self/cross attention —
+    the reference defines it and never uses it (AST.py:226-267); provided
+    for capability parity.  x: (B', N, C) tokens."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: float = None
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_kv=None, mask=None):
+        nh = self.num_heads
+        scale = self.qk_scale or (self.dim // nh) ** -0.5
+        q = Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                  name="to_q")(x)
+        kv_src = x if attn_kv is None else jnp.broadcast_to(
+            attn_kv[None], (x.shape[0],) + attn_kv.shape)
+        kv = Dense(self.dim * 2, use_bias=self.qkv_bias, dtype=self.dtype,
+                   name="to_kv")(kv_src)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q, k, v = (split_heads(t, nh) for t in (q, k, v))
+        bias = jnp.zeros((nh, q.shape[2], k.shape[2]), jnp.float32)
+        out = window_attention_core(q, k, v, bias, scale=scale, mask=mask)
+        return Dense(self.dim, dtype=self.dtype, name="proj")(merge_heads(out))
 
 
 class ASTDownsample(nn.Module):
