@@ -173,3 +173,44 @@ def test_tp_param_sharding_matches_replicated(mesh):
     tp_params = shard_params_tp(params, mesh)
     got = np.asarray(jax.jit(model.apply)(tp_params, x))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_ulysses_head_sharding_matches_core(mesh):
+    """Ulysses: heads sharded over 'context' via two all_to_alls must equal
+    the single-device window attention core exactly."""
+    from underwater_image_restoration_tpu.parallel import (
+        ulysses_window_attention,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    bq, h, n, d = 16, 8, 16, 4  # H=8 over context=4 -> 2 heads/device
+    q = jax.random.normal(ks[0], (bq, h, n, d), jnp.float32)
+    k = jax.random.normal(ks[1], (bq, h, n, d), jnp.float32)
+    v = jax.random.normal(ks[2], (bq, h, n, d), jnp.float32)
+    bias = jax.random.normal(ks[3], (h, n, n)) * 0.1
+    w = jax.random.normal(ks[4], (2,))
+    want = np.asarray(window_attention_core(q, k, v, bias, scale=0.3,
+                                            sparse_w=w))
+    got = np.asarray(ulysses_window_attention(q, k, v, bias, mesh=mesh,
+                                              scale=0.3, sparse_w=w))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    with pytest.raises(ValueError):
+        ulysses_window_attention(q[:, :6], k[:, :6], v[:, :6], bias[:6],
+                                 mesh=mesh, scale=0.3)
+
+
+def test_fsdp_style_param_sharding(mesh):
+    """tp_shardings over the 'data' axis doubles as FSDP-style param
+    sharding; forward must equal replicated."""
+    import jax.numpy as jnp
+
+    from underwater_image_restoration_tpu.models import init_model
+    from underwater_image_restoration_tpu.parallel import shard_params_tp
+
+    model = init_model("SpectralTransformer")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(model.apply(params, x))
+    got = np.asarray(jax.jit(model.apply)(
+        shard_params_tp(params, mesh, mesh_axis="data"), x))
+    np.testing.assert_allclose(got, want, atol=2e-5)

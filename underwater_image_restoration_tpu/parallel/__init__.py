@@ -18,6 +18,7 @@ from .context import (
     sharded_fft2,
     sharded_ifft2,
     spatial_sharding,
+    ulysses_window_attention,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "shard_params_tp",
     "spatial_sharding",
     "tp_shardings",
+    "ulysses_window_attention",
 ]

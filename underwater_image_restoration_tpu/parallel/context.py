@@ -149,6 +149,63 @@ def cp_window_attention(
 
 
 # --------------------------------------------------------------------------
+# Ulysses-style head sharding
+# --------------------------------------------------------------------------
+def _ulysses_local(q, k, v, bias, sparse_w, *, scale, axis_name, sparse):
+    """Inside shard_map: inputs arrive sharded over the WINDOW axis
+    (B' = windows); all_to_all re-shards to the HEAD axis so each device
+    holds all windows for H/n heads, runs the attention core, and a second
+    all_to_all restores window sharding — the Ulysses recipe with the
+    window-batch axis playing the sequence role."""
+    n_dev = jax.lax.axis_size(axis_name)
+
+    def to_heads(t):  # (bq_loc, H, N, d) -> (bq_loc*n_dev, H/n_dev, N, d)
+        bq, h, n, d = t.shape
+        t = t.reshape(bq, n_dev, h // n_dev, n, d)
+        t = jax.lax.all_to_all(t, axis_name, split_axis=1, concat_axis=0,
+                               tiled=False)
+        return t.reshape(n_dev * bq, h // n_dev, n, d)
+
+    def to_windows(t):  # inverse
+        bqg, hl, n, d = t.shape
+        bq = bqg // n_dev
+        t = t.reshape(n_dev, bq, hl, n, d)
+        t = jax.lax.all_to_all(t, axis_name, split_axis=0, concat_axis=1,
+                               tiled=False)
+        return t.reshape(bq, n_dev * hl, n, d)
+
+    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+    h_lo = qh.shape[1]
+    idx = jax.lax.axis_index(axis_name)
+    bias_lo = jax.lax.dynamic_slice_in_dim(bias, idx * h_lo, h_lo, axis=0)
+    out = window_attention_core(qh, kh, vh, bias_lo, scale=scale,
+                                sparse_w=sparse_w if sparse else None)
+    return to_windows(out)
+
+
+def ulysses_window_attention(q, k, v, bias, *, mesh: Mesh, scale: float,
+                             sparse_w=None):
+    """Window attention with attention HEADS sharded over 'context'
+    (SURVEY.md §2.2 Ulysses).  q/k/v: (B', H, N, d) global; H must be
+    divisible by the context size.  Two all_to_alls ride ICI; per-device
+    compute drops to H/n heads.  Matches the single-device core exactly."""
+    n_ctx = mesh.shape[CONTEXT_AXIS]
+    if q.shape[1] % n_ctx:
+        raise ValueError(f"H={q.shape[1]} not divisible by context={n_ctx}")
+    sparse = sparse_w is not None
+    sw_in = sparse_w if sparse else jnp.zeros((2,), jnp.float32)
+    f = jax.shard_map(
+        functools.partial(_ulysses_local, scale=scale,
+                          axis_name=CONTEXT_AXIS, sparse=sparse),
+        mesh=mesh,
+        in_specs=(P(CONTEXT_AXIS), P(CONTEXT_AXIS), P(CONTEXT_AXIS), P(),
+                  P()),
+        out_specs=P(CONTEXT_AXIS),
+    )
+    return f(q, k, v, bias, sw_in)
+
+
+# --------------------------------------------------------------------------
 # distributed 2D FFT (transpose decomposition)
 # --------------------------------------------------------------------------
 def _fft2_local(x_local, axis_name: str, inverse: bool):
