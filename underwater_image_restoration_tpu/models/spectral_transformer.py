@@ -7,8 +7,7 @@ TPU-native re-design of reference ``src/Models/SpectralTransformer.py``:
   the reference's BCHW<->BLC reshape thrash (SpectralTransformer.py:144-147)
   disappears entirely.
 - MDTA channel attention is linear in pixel count: the (C/h x C/h) attention
-  matmuls batch cleanly onto the MXU (ops.channel_attention_core; a fused
-  Pallas kernel is available via ops.pallas).
+  matmuls batch cleanly onto the MXU (ops.channel_attention_core).
 - FFTs run over spatial axes of NHWC; XLA lowers to its native FFT.
 
 Faithfully reproduced behavioral quirks (required for parity with reference
