@@ -139,3 +139,34 @@ def test_contrast_matches_pil_enhance():
             ImageEnhance.Contrast(Image.fromarray(raw[i])).enhance(float(f))
         )
         assert np.abs(ours[i].astype(int) - want.astype(int)).max() <= 1
+
+
+def test_u45_and_custom_datasets(tmp_path):
+    from PIL import Image
+
+    from underwater_image_restoration_tpu.data import (
+        CustomImageDataset,
+        U45Dataset,
+    )
+
+    raw, ref = synthetic_pair_batch(3, 16, seed=20)
+    (tmp_path / "in").mkdir(); (tmp_path / "ref").mkdir()
+    for i in range(3):
+        Image.fromarray(raw[i]).save(tmp_path / "in" / f"im{i}.png")
+    # only 2 matching filenames in ref + one extra unmatched
+    for i in range(2):
+        Image.fromarray(ref[i]).save(tmp_path / "ref" / f"im{i}.png")
+    Image.fromarray(ref[2]).save(tmp_path / "ref" / "other.png")
+    (tmp_path / "in" / "notes.txt").write_text("skip me")
+
+    u45 = U45Dataset(str(tmp_path / "in"), image_size=8)
+    assert len(u45) == 3
+    img, idx = u45[1]
+    assert img.shape == (8, 8, 3) and idx == 1
+
+    ds = CustomImageDataset([str(tmp_path / "in")], [str(tmp_path / "ref")],
+                            image_size=8, image_size_high=16)
+    assert len(ds) == 2  # filename-matched only
+    x, rl, rh, idx = ds[0]
+    assert x.shape == (8, 8, 3) and rl.shape == (8, 8, 3)
+    assert rh.shape == (16, 16, 3) and idx == 0

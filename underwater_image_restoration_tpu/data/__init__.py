@@ -20,10 +20,12 @@ from .loader import PairedLoader, get_dataloaders
 from .augment import AugmentConfig, augment_pair_batch
 from .manager import DataManager
 from .offline_augment import DataAugmentor
+from .custom import CustomImageDataset, U45Dataset
 from .synthetic import synthetic_pair_batch
 
 __all__ = [
     "AugmentConfig",
+    "CustomImageDataset",
     "DataAugmentor",
     "DataManager",
     "PairedLoader",
@@ -32,4 +34,5 @@ __all__ = [
     "get_dataloaders",
     "load_pair_listing",
     "synthetic_pair_batch",
+    "U45Dataset",
 ]
