@@ -280,3 +280,31 @@ def test_trainer_fflmix_components(train_dirs, tmp_path):
     for comp in ("Charbonnier", "Perceptual", "Gradient Loss", "FFL Loss",
                  "MS_SSIM Loss"):
         assert f"train/loss_{comp}" in keys, comp
+
+
+def test_training_is_deterministic(train_dirs, tmp_path):
+    """Same seed -> bit-identical loss trajectory (production requirement the
+    reference can't make: its DataLoader workers + CUDA nondeterminism)."""
+    def run(tag):
+        cfg = Config(
+            arch="SpectralTransformer", lossf="L1", lr=1e-3, max_epoch=1,
+            train_batch_size=2, test_batch_size=2, image_size=16,
+            mesh_data=1, use_wandb=False,
+            checkpoint_dir=str(tmp_path / f"ck_{tag}"), workers=2,
+            print_freq=10, seed=11,
+        )
+        tr = ModelTrainer(
+            str(train_dirs / "train" / "a"), str(train_dirs / "train" / "b"),
+            str(train_dirs / "test" / "a"), str(train_dirs / "test" / "b"),
+        )
+        _, state = tr.train(cfg)
+        import json, glob
+        run_dir = glob.glob(str(tmp_path / f"ck_{tag}" / "*"))[0]
+        recs = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+        return [r["train/loss"] for r in recs if "train/loss" in r], state
+
+    l1, s1 = run("a")
+    l2, s2 = run("b")
+    assert l1 == l2 and len(l1) == 3
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
