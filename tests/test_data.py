@@ -170,3 +170,20 @@ def test_u45_and_custom_datasets(tmp_path):
     x, rl, rh, idx = ds[0]
     assert x.shape == (8, 8, 3) and rl.shape == (8, 8, 3)
     assert rh.shape == (16, 16, 3) and idx == 0
+
+
+def test_loader_surfaces_decode_errors(tmp_path):
+    from PIL import Image
+
+    raw, ref = synthetic_pair_batch(4, 16, seed=30)
+    for sub, arr in (("a", raw), ("b", ref)):
+        d = tmp_path / sub
+        d.mkdir()
+        for i in range(4):
+            Image.fromarray(arr[i]).save(d / f"{i}.png")
+    (tmp_path / "a" / "2.png").write_bytes(b"not a png")  # corrupt
+    ld = PairedLoader(UIEBDataset(str(tmp_path / "a"), str(tmp_path / "b"),
+                                  image_size=8),
+                      batch_size=2, shuffle=False, num_workers=2)
+    with pytest.raises(Exception):
+        list(ld)

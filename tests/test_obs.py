@@ -76,3 +76,17 @@ def test_step_timer_skips_warmup():
         t.start()
         t.stop()
     assert t.count == 2 and t.mean >= 0.0
+
+
+def test_profile_trace_writes_trace(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from underwater_image_restoration_tpu.obs import profile_trace
+
+    with profile_trace(str(tmp_path / "prof")):
+        jax.block_until_ready(jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+    files = list((tmp_path / "prof").rglob("*"))
+    assert any(f.is_file() for f in files)
+    with profile_trace(""):  # disabled: no-op
+        pass
