@@ -4,8 +4,9 @@
 Workload = the README's canonical config (README.md:121): SpectralTransformer,
 L1withColor loss, 256^2 pairs — one fully fused jitted train step (uint8
 normalize + forward + loss + grad + global-norm clip + adam) in bf16 compute /
-f32 params, per-block remat, batch 32 (the single-chip HBM sweet spot:
-8/no-remat -> 1242 img/s, 32/remat -> ~3800 img/s), single chip.
+f32 params, per-block remat (blocks AND the FFT UpS modules), batch 64
+(the single-chip HBM sweet spot: 8/no-remat -> 1.2k img/s, 32/remat ->
+~8.8k, 64/remat+UpS-remat -> ~13.9k img/s), single chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -23,7 +24,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-BATCH = 32
+BATCH = 64
 SIZE = 256
 WARMUP = 3
 STEPS = 20
@@ -78,7 +79,7 @@ def main():
     # the chip is shared behind a tunnel: another tenant's HBM use can OOM
     # the batch-32 sweet spot, so fall back rather than fail the bench
     last_err = None
-    for batch in (BATCH, 16, 8):
+    for batch in (BATCH, 32, 16, 8):
         try:
             imgs_per_sec = _run(batch)
             break
