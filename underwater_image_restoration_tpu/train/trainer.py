@@ -316,8 +316,14 @@ class ModelTrainer:
                     np.mean([m["loss"] for m in host_metrics])
                 ) if host_metrics else float("nan")
                 epoch_time = time.time() - t0
+                imgs_per_sec = len(host_metrics) * cfg.train_batch_size / max(
+                    epoch_time, 1e-9)
                 print(f"Epoch {epoch + 1}/{num_epochs} completed in "
-                      f"{epoch_time:.2f}s, Avg Loss: {avg_epoch_loss:.6f}")
+                      f"{epoch_time:.2f}s, Avg Loss: {avg_epoch_loss:.6f}, "
+                      f"{imgs_per_sec:.1f} img/s")
+                explog.log_metrics_per_epoch(
+                    {"train/images_per_sec": imgs_per_sec,
+                     "train/epoch_loss": avg_epoch_loss}, epoch)
 
                 # -- validation (reference ModelTrainer.py:132-158) ---------
                 val = {"loss": 0.0, "psnr_sum": 0.0, "ssim_sum": 0.0, "n": 0.0}
