@@ -53,6 +53,31 @@ def test_uiqm_zero_blocks_skipped(ref_uqim):
         assert g == pytest.approx(w, rel=1e-6, abs=1e-9)
 
 
+def test_getuiqm_shim_matches_compute_uiqm():
+    from underwater_image_restoration_tpu.eval import getUIQM
+
+    rng = np.random.default_rng(3)
+    img = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+    assert getUIQM(img) == compute_uiqm(img)
+
+
+def test_uiqm_flat_channel_documented_divergence(ref_uqim):
+    """An all-zero channel NaNs the reference's sobel (uqim_utils.py:53-55
+    divides by max unconditionally); our _sobel_mag guards it — a documented
+    intentional fix (see eval/uiqm.py module docstring)."""
+    rng = np.random.default_rng(4)
+    img = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+    img[..., 2] = 0  # flat blue channel
+    with np.errstate(invalid="ignore", divide="ignore"):
+        want = ref_uqim.getUIQM(img)
+    assert np.isnan(want[0])  # the reference quirk this diverges from
+    got = compute_uiqm(img)
+    assert np.isfinite(got).all()
+    # UICM/UICONM are unaffected by the sobel guard and still match.
+    assert got[1] == pytest.approx(want[1], rel=1e-6, abs=1e-9)
+    assert got[3] == pytest.approx(want[3], rel=1e-6, abs=1e-9)
+
+
 def test_uiqm_cv2_emulation_differs():
     raw, _ = synthetic_pair_batch(1, 64, seed=0)
     rgb = compute_uiqm(raw[0])[0]

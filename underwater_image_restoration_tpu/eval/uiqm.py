@@ -19,7 +19,14 @@ that reproduces the reference's numerical quirks exactly:
 
 The eval notebook feeds cv2 (BGR) arrays into getUIQM (eval.ipynb cell
 9a86b5b4), so the published UIQM=4.33 is computed with R and B swapped;
-``compute_uiqm(..., channel_order="bgr")`` replicates that.
+``compute_uiqm(..., emulate_cv2=True)`` replicates that.
+
+Intentional divergence from the reference: its sobel() divides by
+np.max(mag) unconditionally (uqim_utils.py:53-55) and yields NaN for an
+all-zero (flat) channel; ``_sobel_mag`` guards that division, so a flat
+channel contributes 0 to UISM instead of poisoning the whole score.  The
+guard is unreachable on real photographs and is covered by an oracle test
+(tests/test_eval.py).
 """
 from __future__ import annotations
 
@@ -124,5 +131,9 @@ def compute_uiqm(image_rgb: np.ndarray, emulate_cv2: bool = False):
 
 
 def getUIQM(x: np.ndarray):
-    """Name-parity shim (reference uqim_utils.py:176)."""
-    return compute_uiqm(x, channel_order="rgb")
+    """Name-parity shim (reference uqim_utils.py:176).
+
+    Like the reference's getUIQM it applies the RGB-coefficient math to
+    whatever channel order the caller hands it (the notebook hands it BGR).
+    """
+    return compute_uiqm(x)
