@@ -185,7 +185,9 @@ def test_loss_dispatch_ffl_mix_tuple(rng):
     b = rng.random((1, 164, 164, 3), dtype=np.float32)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        out = losses.LossFunction("fflMix").getloss(jnp.asarray(a), jnp.asarray(b))
+        out = losses.LossFunction(
+            "fflMix", allow_placeholder_vgg=True
+        ).getloss(jnp.asarray(a), jnp.asarray(b))
     assert len(out) == 6
     loss, charb, perc, grad, ffl, ssim_l = (float(v) for v in out)
     np.testing.assert_allclose(
@@ -198,6 +200,22 @@ def test_loss_dispatch_ffl_mix_tuple(rng):
 def test_loss_unknown_raises():
     with pytest.raises(ValueError):
         losses.LossFunction("nope")
+
+
+@pytest.mark.parametrize("name", sorted(losses.PERCEPTUAL_FAMILY))
+def test_perceptual_family_requires_real_vgg(name, monkeypatch, tmp_path):
+    """Without converted VGG16 weights the perceptual-family losses must
+    refuse loudly rather than silently train on random features
+    (VERDICT.md missing #1; reference losses.py:219-222)."""
+    monkeypatch.delenv("UIRT_ALLOW_PLACEHOLDER_VGG", raising=False)
+    with pytest.raises(FileNotFoundError, match="convert_vgg16"):
+        losses.LossFunction(name)
+    with pytest.raises(FileNotFoundError):
+        losses.LossFunction(name, vgg_weights=str(tmp_path / "missing.npz"))
+    # explicit opt-ins still work
+    assert losses.LossFunction(name, allow_placeholder_vgg=True)
+    monkeypatch.setenv("UIRT_ALLOW_PLACEHOLDER_VGG", "1")
+    assert losses.LossFunction(name)
 
 
 def test_l1_bc_division(rng):

@@ -150,6 +150,104 @@ def test_sharded_fft2_roundtrip_and_equality(mesh):
     np.testing.assert_allclose(back.real, np.asarray(x), atol=1e-4)
 
 
+# ---------------------------------------------------------------------------
+# context parallelism wired into REAL model training (VERDICT.md next #2):
+# a full train step with mesh_context=2 must match the single-device step.
+# ---------------------------------------------------------------------------
+
+_CP_MODELS = {
+    "SpectralTransformer": dict(num_blocks=(1, 1, 1, 1), channels=(4, 8, 16, 32),
+                                num_heads=(1, 2, 4, 8), num_refinement=1),
+    "AST": dict(img_size=32, embed_dim=8),
+    "NewModel": dict(img_size=32, embed_dim=8, use_dwt="Fourier"),
+    "NewModel-Wavelet": dict(img_size=32, embed_dim=8, use_dwt="Wavelet"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_CP_MODELS))
+def test_cp_model_train_step_matches_single_device(name):
+    """Full jitted train step (fwd+loss+grad+clip+adam) of a model with the
+    ('data','context') mesh routed through the CP primitives == the
+    unsharded step (same params, same batch)."""
+    import optax
+
+    from underwater_image_restoration_tpu.core.meshes import make_mesh
+    from underwater_image_restoration_tpu.losses import LossFunction
+    from underwater_image_restoration_tpu.models import init_model
+    from underwater_image_restoration_tpu.train import (
+        TrainState, get_optimizer, make_train_step,
+    )
+    from underwater_image_restoration_tpu.train.trainer import batch_sharding
+
+    arch = name.split("-")[0]
+    kw = _CP_MODELS[name]
+    cp_mesh = make_mesh(data=4, context=2)
+    m_single = init_model(arch, **kw)
+    m_cp = init_model(arch, mesh=cp_mesh, **kw)
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    ref = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    params = jax.jit(m_single.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3), jnp.float32))
+    # SGD: the param delta is linear in the grad, so tolerances measure the
+    # real CP-vs-local numerics (Adam's g/sqrt(v) amplifies the f32
+    # reduction-order noise of near-zero grads into ±lr sign flips)
+    tx = get_optimizer("sgd", 1e-3, momentum=0.0)
+    lossfn = LossFunction("L1withColor")
+    step_rng = jax.random.PRNGKey(7)
+
+    def run(model, mesh):
+        # fresh buffers per run: the jitted step donates its state
+        p = jax.tree.map(jnp.array, params)
+        st = TrainState(params=p, opt_state=tx.init(p),
+                        step=jnp.zeros((), jnp.int32))
+        step = make_train_step(model, lossfn, tx, mesh=mesh)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            repl = NamedSharding(mesh, P())
+            st = jax.device_put(st, repl)
+            sh = batch_sharding(mesh)
+            args = (jax.device_put(jnp.asarray(raw), sh),
+                    jax.device_put(jnp.asarray(ref), sh),
+                    jax.device_put(step_rng, repl))
+        else:
+            args = (jnp.asarray(raw), jnp.asarray(ref), step_rng)
+        st, metrics = step(st, *args)
+        return jax.device_get((st.params, metrics["loss"]))
+
+    want_p, want_l = run(m_single, None)
+    got_p, got_l = run(m_cp, cp_mesh)
+    np.testing.assert_allclose(got_l, want_l, rtol=1e-5, atol=1e-6)
+    flat_w = jax.tree_util.tree_leaves(want_p)
+    flat_g = jax.tree_util.tree_leaves(got_p)
+    for a, b in zip(flat_g, flat_w):
+        # reduction-order slack: CP changes the order of the f32 grad/Adam
+        # accumulations, not the math
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_cp_model_forward_emits_halo_ppermute():
+    """The CP-wired AST must actually lower to collective-permutes (halo
+    exchange), not silently fall back to local compute."""
+    from jax.sharding import NamedSharding
+
+    from underwater_image_restoration_tpu.core.meshes import (
+        CONTEXT_AXIS, make_mesh,
+    )
+    from underwater_image_restoration_tpu.models import init_model
+
+    cp_mesh = make_mesh(data=4, context=2)
+    model = init_model("AST", img_size=32, embed_dim=8, mesh=cp_mesh)
+    x = jnp.zeros((4, 32, 32, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
+    xd = jax.device_put(
+        x, NamedSharding(cp_mesh, P("data", CONTEXT_AXIS, None, None)))
+    pd = jax.device_put(params, NamedSharding(cp_mesh, P()))
+    hlo = jax.jit(model.apply).lower(pd, xd).compile().as_text()
+    assert "collective-permute" in hlo
+
+
 def test_tp_param_sharding_matches_replicated(mesh):
     """TP-sharded params (output-feature dims over 'context') must give the
     same forward as replicated params — XLA inserts the collectives."""

@@ -126,6 +126,54 @@ def test_train_step_sharded_matches_single(tiny_setup):
         np.testing.assert_allclose(a, b, atol=1e-4)
 
 
+@pytest.mark.parametrize("axis", ["data", "context"])
+def test_train_step_sharded_params_matches_replicated(tiny_setup, axis):
+    """FSDP-style ('data') / TP ('context') param+opt-state sharding must
+    produce the same update as fully replicated state (VERDICT.md next #10:
+    CLI-reachable via --shard-params)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from underwater_image_restoration_tpu.core.meshes import make_mesh
+    from underwater_image_restoration_tpu.parallel import tp_shardings
+
+    model, lossfn, params, raw, ref = tiny_setup
+    # SGD: the param delta is linear in the grad so the tolerance measures
+    # the real sharded-vs-replicated numerics (Adam's g/sqrt(v) at step 1 is
+    # sign(g) — f32 reduction-order noise on near-zero grads flips it by lr)
+    tx = get_optimizer("sgd", 1e-3, momentum=0.0, clip_norm=0.0)
+    mesh = make_mesh(data=2, context=2)  # batch of 2 over 'data'
+
+    def run(state_sh_fn):
+        p = jax.tree.map(jnp.copy, params)
+        state = TrainState(params=p, opt_state=tx.init(p),
+                           step=jnp.zeros((), jnp.int32))
+        sh = state_sh_fn(state)
+        state = jax.device_put(state, sh)
+        step = make_train_step(model, lossfn, tx, mesh=mesh,
+                               state_shardings=sh)
+        state, m = step(state, jnp.asarray(raw), jnp.asarray(ref),
+                        jax.random.PRNGKey(0))
+        return jax.device_get(state.params), float(m["loss"])
+
+    repl = NamedSharding(mesh, P())
+    want_p, want_l = run(lambda st: repl)
+    got_p, got_l = run(lambda st: TrainState(
+        params=tp_shardings(st.params, mesh, axis),
+        opt_state=tp_shardings(st.opt_state, mesh, axis),
+        step=repl))
+    assert got_l == pytest.approx(want_l, rel=1e-5)
+    for a, b in zip(jax.tree.leaves(got_p), jax.tree.leaves(want_p)):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_shard_params_cli_flag_reaches_config():
+    from underwater_image_restoration_tpu.cli.args import argument_parser
+    from underwater_image_restoration_tpu.core.config import from_namespace
+
+    ns = argument_parser().parse_args(["--shard-params", "data"])
+    assert from_namespace(ns).shard_params == "data"
+
+
 def test_eval_step_masks_padding(tiny_setup):
     model, lossfn, params, raw, ref = tiny_setup
     ev = make_eval_step(model, lossfn)
@@ -212,6 +260,17 @@ def test_trainer_end_to_end_and_resume(train_dirs, tmp_path):
     keys = set().union(*[set(r) for r in recs])
     assert {"train/loss", "train/learning_rate", "test/PSNR",
             "test/SSIM", "test/loss"} <= keys
+    # wandb.watch parity (reference wandb_logger.py:25-27): parameter and
+    # gradient histograms hit the sinks every watch_freq steps (global step
+    # 0 qualifies)
+    hist_keys = {k for k in keys
+                 if k.startswith(("parameters/", "gradients/"))}
+    assert any(k.startswith("gradients/") for k in hist_keys)
+    assert any(k.startswith("parameters/") for k in hist_keys)
+    hrec = next(r for r in recs if any(k.startswith("gradients/") for k in r))
+    hval = next(v for k, v in hrec.items() if k.startswith("gradients/"))
+    assert hval["_type"] == "histogram" and len(hval["counts"]) == 64
+    assert hval["min"] <= hval["max"]
 
     # -- resume for one more epoch -------------------------------------
     cfg2 = cfg.replace(max_epoch=3, resume=run_dir)
@@ -266,7 +325,7 @@ def test_trainer_fflmix_components(train_dirs, tmp_path):
         arch="SpectralTransformer", lossf="fflMix", lr=1e-3, max_epoch=1,
         train_batch_size=2, test_batch_size=2, image_size=176,
         mesh_data=1, use_wandb=False, checkpoint_dir=str(tmp_path / "ck"),
-        workers=1, print_freq=1, seed=3,
+        workers=1, print_freq=1, seed=3, allow_placeholder_vgg=True,
     )
     tr = ModelTrainer(
         str(train_dirs / "train" / "a"), str(train_dirs / "train" / "b"),

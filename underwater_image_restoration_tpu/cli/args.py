@@ -136,6 +136,12 @@ def argument_parser() -> argparse.ArgumentParser:
                         help="data-parallel mesh size; -1 = all devices")
     parser.add_argument("--mesh-context", type=int, default=1,
                         help="context-parallel mesh size (window-axis sharding)")
+    parser.add_argument("--shard-params", type=str, default="",
+                        choices=["", "data", "context"],
+                        help="shard params+optimizer state: 'data' = "
+                             "FSDP/ZeRO-style over the data axis, 'context' "
+                             "= tensor-parallel kernel output-feature "
+                             "sharding; default replicated")
     parser.add_argument("--compute-dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32", "float16"])
     parser.add_argument("--remat", action="store_true",
@@ -150,6 +156,15 @@ def argument_parser() -> argparse.ArgumentParser:
                         help="write jax.profiler traces here when set")
     parser.add_argument("--vgg-weights", type=str, default="",
                         help="converted VGG16 .npz for perceptual losses")
+    parser.add_argument("--watch-freq", type=int, default=100,
+                        help="parameter/gradient histogram logging cadence "
+                             "in steps (reference wandb.watch log_freq=100, "
+                             "wandb_logger.py:27); 0 disables")
+    parser.add_argument("--allow-placeholder-vgg", action="store_true",
+                        help="run perceptual-family losses on a random "
+                             "placeholder VGG trunk when no --vgg-weights "
+                             "file exists (training will NOT match the "
+                             "reference; intended for tests/benchmarks)")
     parser.add_argument("--train-raw", type=str, default="uw_data/uw_data/train/a",
                         help="train raw dir (hardcoded in reference main.py:52)")
     parser.add_argument("--train-ref", type=str, default="uw_data/uw_data/train/b",

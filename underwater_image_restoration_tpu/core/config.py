@@ -73,6 +73,9 @@ class Config:
     image_size: int = 1024        # train transform resolution (reference hardcodes 1024²; DataLoader.py:14)
     mesh_data: int = -1           # data-parallel mesh size; -1 = all devices
     mesh_context: int = 1         # context-parallel mesh size (window-axis sharding)
+    shard_params: str = ""        # ""=replicated; "data"=FSDP/ZeRO-style over the
+    #                               data axis; "context"=tensor-parallel kernel
+    #                               output-feature sharding over the context axis
     compute_dtype: str = "bfloat16"   # bf16 compute / f32 params
     param_dtype: str = "float32"
     remat: bool = False           # jax.checkpoint the per-level blocks
@@ -80,6 +83,10 @@ class Config:
     jsonl_metrics: bool = True    # JSONL metric sink alongside/instead of wandb
     profile_dir: str = ""         # when set, jax.profiler traces land here
     vgg_weights: str = ""         # path to converted VGG16 .npz for perceptual losses
+    watch_freq: int = 100         # param/grad histogram cadence in steps
+    #                               (reference wandb.watch log_freq=100,
+    #                               wandb_logger.py:27); 0 disables
+    allow_placeholder_vgg: bool = False  # opt into random VGG trunk (tests/bench only)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -135,7 +135,10 @@ def loss_sanity(image_path: Optional[str] = None, size: int = 64,
     x = jnp.asarray(x * 2.0 - 1.0)
     out = {}
     for name in LOSS_NAMES:
-        fn = LossFunction(name, vgg_weights=vgg_weights)
+        # diagnostic sweep: the placeholder trunk is acceptable here (the
+        # floor value of loss(x, x) is 0 for either trunk)
+        fn = LossFunction(name, vgg_weights=vgg_weights,
+                          allow_placeholder_vgg=True)
         try:
             v = fn(x, x)
         except ValueError as e:  # ms_ssim needs >160px inputs

@@ -18,6 +18,7 @@ The device argument is accepted and ignored (JAX arrays carry placement).
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import jax
@@ -45,6 +46,13 @@ LOSS_NAMES = [
     "ssimFFLCharbonnier",
 ]
 
+# Losses whose value depends on ImageNet-pretrained VGG16 features
+# (reference losses.py:219-222).  Training these against the deterministic
+# placeholder trunk silently diverges from the reference, so LossFunction
+# refuses unless real weights are supplied or the caller opts in.
+PERCEPTUAL_FAMILY = frozenset(
+    {"perceptual", "mix", "bigMix", "fflMix", "fflMixTV"})
+
 
 def _adaptive_pair(a, b):
     """0.5/0.5 weights modulated by softmax(-log(detached losses))
@@ -58,9 +66,24 @@ def _adaptive_pair(a, b):
 class LossFunction:
     """name -> jittable (pred, truth) -> scalar (or 6-tuple for fflMix)."""
 
-    def __init__(self, loss_name: str, device=None, vgg_weights: str = ""):
+    def __init__(self, loss_name: str, device=None, vgg_weights: str = "",
+                 allow_placeholder_vgg: bool = False):
         if loss_name not in LOSS_NAMES:
             raise ValueError(f"Unsupported loss: {loss_name}")
+        if loss_name in PERCEPTUAL_FAMILY:
+            have_weights = bool(vgg_weights) and os.path.exists(vgg_weights)
+            allowed = (allow_placeholder_vgg
+                       or os.environ.get("UIRT_ALLOW_PLACEHOLDER_VGG"))
+            if not have_weights and not allowed:
+                raise FileNotFoundError(
+                    f"Loss '{loss_name}' needs ImageNet-pretrained VGG16 "
+                    f"features (reference losses.py:219-222) but no weights "
+                    f"file was found (vgg_weights={vgg_weights!r}). Convert "
+                    "one with `python -m underwater_image_restoration_tpu."
+                    "tools.convert_vgg16 --out vgg16_features.npz` (needs "
+                    "torchvision) and pass --vgg-weights, or opt into the "
+                    "random placeholder trunk with --allow-placeholder-vgg "
+                    "(training will NOT match the reference).")
         self.loss_name = loss_name
         self._vgg = vgg_weights
         # returns_components mirrors the reference's fflMix 6-tuple contract

@@ -43,6 +43,7 @@ from ..ops.resample import image_to_tokens, tokens_to_image
 from ..ops.attention import merge_heads, split_heads, window_attention_core
 from .blocks import WindowAttentionSparse, make_token_mlp
 from ..ops import Dense
+from ..parallel import cp_ops
 
 
 class Attention(nn.Module):
@@ -140,6 +141,7 @@ class ASTTransformerBlock(nn.Module):
     att: bool = True
     sparse_att: bool = False
     dtype: object = jnp.float32
+    mesh: object = None  # context-parallel mesh (rolls + window attention)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -157,15 +159,15 @@ class ASTTransformerBlock(nn.Module):
             y = LayerNorm(dtype=self.dtype, name="norm1")(x)
             img = tokens_to_image(y, h, w)
             if ss > 0:
-                img = jnp.roll(img, (-ss, -ss), axis=(1, 2))
+                img = cp_ops.roll2d(img, -ss, -ss, self.mesh)
             wins = window_partition(img, ws).reshape(-1, ws * ws, c)
             attn_wins = WindowAttentionSparse(
                 self.dim, ws, self.num_heads, sparse=self.sparse_att,
-                dtype=self.dtype, name="attn",
-            )(wins, mask=attn_mask)
+                dtype=self.dtype, mesh=self.mesh, name="attn",
+            )(wins, mask=attn_mask, batch=b, n_win_h=h // ws)
             img = window_reverse(attn_wins.reshape(-1, ws, ws, c), ws, h, w)
             if ss > 0:
-                img = jnp.roll(img, (ss, ss), axis=(1, 2))
+                img = cp_ops.roll2d(img, ss, ss, self.mesh)
             x = shortcut + dp(image_to_tokens(img), deterministic=deterministic)
 
         y = LayerNorm(dtype=self.dtype, name="norm2")(x)
@@ -191,6 +193,7 @@ class BasicASTLayer(nn.Module):
     dtype: object = jnp.float32
     remat: bool = False  # per-block remat (the reference's dormant
     #                      use_checkpoint hook, AST.py:673-676, made real)
+    mesh: object = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -205,7 +208,8 @@ class BasicASTLayer(nn.Module):
                 dim=self.dim, input_resolution=self.input_resolution,
                 num_heads=self.num_heads, win_size=self.win_size, shift_size=shift,
                 drop_path=float(dp), token_mlp=self.token_mlp, att=self.att,
-                sparse_att=self.sparse_att, dtype=self.dtype, name=f"block_{i}",
+                sparse_att=self.sparse_att, dtype=self.dtype, mesh=self.mesh,
+                name=f"block_{i}",
             )
             x = apply_fn(block, x)
         return x
@@ -227,6 +231,7 @@ class AST(nn.Module):
     shift_flag: bool = True
     dtype: object = jnp.float32
     remat: bool = False
+    mesh: object = None  # ('data','context') mesh enables context parallelism
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -242,7 +247,7 @@ class AST(nn.Module):
                 win_size=self.win_size, drop_path=tuple(dpr),
                 token_mlp=self.token_mlp, shift_flag=self.shift_flag, att=att,
                 sparse_att=sparse, dtype=self.dtype, remat=self.remat,
-                name=name,
+                mesh=self.mesh, name=name,
             )(y, deterministic=deterministic)
 
         y = ASTInputProj(e, dtype=self.dtype, name="input_proj")(x.astype(self.dtype))

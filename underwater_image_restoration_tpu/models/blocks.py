@@ -41,13 +41,12 @@ from ..ops import (
     relative_position_index,
     shift_window_mask,
     split_heads,
-    window_attention,
     window_partition,
     window_reverse,
 )
 from ..ops.init import trunc_normal_init
-from ..ops.spectral import fftn_real_spatial, ifftn_real_spatial
 from ..ops.resample import image_to_tokens, tokens_to_image
+from ..parallel import cp_ops
 
 
 class InputProjection(nn.Module):
@@ -213,9 +212,12 @@ class WindowAttentionSparse(nn.Module):
     qk_scale: Optional[float] = None
     sparse: bool = True
     dtype: object = jnp.float32
+    # context-parallel mesh; the caller supplies batch/n_win_h so the window
+    # axis (B*nW, batch-major then window-row-major) can shard over 'context'
+    mesh: Optional[object] = None
 
     @nn.compact
-    def __call__(self, x, attn_kv=None, mask=None):
+    def __call__(self, x, attn_kv=None, mask=None, batch=None, n_win_h=None):
         b, n, c = x.shape
         nh = self.num_heads
         head_dim = self.dim // nh
@@ -254,8 +256,9 @@ class WindowAttentionSparse(nn.Module):
             if self.sparse
             else None
         )
-        out = window_attention(
-            q, k, v, bias, scale=scale, sparse_w=sparse_w, mask=mask
+        out = cp_ops.window_attention(
+            q, k, v, bias, scale=scale, sparse_w=sparse_w, mask=mask,
+            mesh=self.mesh, batch=batch, n_win_h=n_win_h,
         )
         out = merge_heads(out)
         return Dense(self.dim, dtype=self.dtype, name="proj")(out)
@@ -271,6 +274,7 @@ class FDFP(nn.Module):
     hidden_channels: int
     use_dwt: str = "Fourier"
     dtype: object = jnp.float32
+    mesh: Optional[object] = None  # context-parallel mesh for the FFTs
 
     @nn.compact
     def __call__(self, x):
@@ -278,14 +282,14 @@ class FDFP(nn.Module):
         if self.use_dwt == "Wavelet":
             y = dwt2d(y)
         elif self.use_dwt == "Fourier":
-            y = fftn_real_spatial(y)
+            y = cp_ops.fftn_real_spatial(y, self.mesh)
         y = Conv2d(self.hidden_channels, 1, dtype=self.dtype, name="conv1")(y)
         y = gelu(y)
         y = Conv2d(self.in_channels, 1, dtype=self.dtype, name="conv2")(y)
         if self.use_dwt == "Wavelet":
             y = idwt2d(y)
         elif self.use_dwt == "Fourier":
-            y = ifftn_real_spatial(y)
+            y = cp_ops.ifftn_real_spatial(y, self.mesh)
         return y
 
 
@@ -312,12 +316,14 @@ class MDASSA(nn.Module):
     freq_attn_win_ratio: int = 2  # accepted for parity; unused (block.py:398)
     use_dwt: str = "Fourier"
     dtype: object = jnp.float32
+    mesh: Optional[object] = None  # context-parallel mesh (rolls/attn/FFTs)
 
     @nn.compact
     def __call__(self, x, mask=None):
         b, l, c = x.shape
         h = w = int(math.sqrt(l))
         ws, ss = self.win_size, self.shift_size
+        n_win_h = h // ws
 
         if ss > 0:
             attn_mask = jnp.asarray(shift_window_mask(h, w, ws, ss))
@@ -330,15 +336,15 @@ class MDASSA(nn.Module):
         freq_in = img
 
         if ss > 0:
-            img = jnp.roll(img, (-ss, -ss), axis=(1, 2))
+            img = cp_ops.roll2d(img, -ss, -ss, self.mesh)
         wins = window_partition(img, ws).reshape(-1, ws * ws, c)
         attn_wins = WindowAttentionSparse(
             self.dim, ws, self.num_heads, self.qkv_bias, self.qk_scale,
-            sparse=True, dtype=self.dtype, name="attn",
-        )(wins, mask=attn_mask)
+            sparse=True, dtype=self.dtype, mesh=self.mesh, name="attn",
+        )(wins, mask=attn_mask, batch=b, n_win_h=n_win_h)
         img = window_reverse(attn_wins.reshape(-1, ws, ws, c), ws, h, w)
         if ss > 0:
-            img = jnp.roll(img, (ss, ss), axis=(1, 2))
+            img = cp_ops.roll2d(img, ss, ss, self.mesh)
 
         spatial = shortcut + image_to_tokens(img)
         spatial_img = tokens_to_image(spatial, h, w)
@@ -346,27 +352,27 @@ class MDASSA(nn.Module):
         # frequency branch
         freq_q = FDFP(
             self.dim, self.dim * 2, use_dwt=self.use_dwt, dtype=self.dtype,
-            name="fdfp",
+            mesh=self.mesh, name="fdfp",
         )(freq_in)
         freq_shortcut = freq_q
         kv = Conv2d(self.dim * 2, 1, dtype=self.dtype, name="conv1x1")(spatial_img)
         k, v = jnp.split(kv, 2, axis=-1)
 
         if ss > 0:
-            freq_q = jnp.roll(freq_q, (-ss, -ss), axis=(1, 2))
-            k = jnp.roll(k, (-ss, -ss), axis=(1, 2))
-            v = jnp.roll(v, (-ss, -ss), axis=(1, 2))
+            freq_q = cp_ops.roll2d(freq_q, -ss, -ss, self.mesh)
+            k = cp_ops.roll2d(k, -ss, -ss, self.mesh)
+            v = cp_ops.roll2d(v, -ss, -ss, self.mesh)
         fq = window_partition(freq_q, ws).reshape(-1, ws * ws, c)
         kw = window_partition(k, ws).reshape(-1, ws * ws, c)
         vw = window_partition(v, ws).reshape(-1, ws * ws, c)
         kv_wins = jnp.concatenate([kw, vw], axis=-1)
         freq_wins = WindowAttentionSparse(
             self.dim, ws, self.num_heads, self.qkv_bias, self.qk_scale,
-            sparse=True, dtype=self.dtype, name="freq_attn",
-        )(fq, attn_kv=kv_wins, mask=None)
+            sparse=True, dtype=self.dtype, mesh=self.mesh, name="freq_attn",
+        )(fq, attn_kv=kv_wins, mask=None, batch=b, n_win_h=n_win_h)
         freq_img = window_reverse(freq_wins.reshape(-1, ws, ws, c), ws, h, w)
         if ss > 0:
-            freq_img = jnp.roll(freq_img, (ss, ss), axis=(1, 2))
+            freq_img = cp_ops.roll2d(freq_img, ss, ss, self.mesh)
 
         out = freq_shortcut + freq_img
         return image_to_tokens(out)

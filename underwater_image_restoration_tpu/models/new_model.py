@@ -121,6 +121,7 @@ class DecoderBlock(nn.Module):
     freq_attn_win_ratio: int = 2
     use_dwt: str = "Fourier"
     dtype: object = jnp.float32
+    mesh: object = None  # context-parallel mesh (MDASSA rolls/attn/FFTs)
 
     @nn.compact
     def __call__(self, x, enc_out=None, *, deterministic: bool = True):
@@ -144,6 +145,7 @@ class DecoderBlock(nn.Module):
             freq_attn_win_ratio=self.freq_attn_win_ratio,
             use_dwt=self.use_dwt,
             dtype=self.dtype,
+            mesh=self.mesh,
             name="mdassa",
         )(x)
         y = x + shortcut
@@ -172,6 +174,11 @@ class _NewFamilyBase(nn.Module):
     blocks_per_level: int = 1
     dtype: object = jnp.float32
     remat: bool = False  # per-block rematerialization for HBM headroom
+    # context-parallel mesh.  The decoders' MDASSA (rolls/window attention/
+    # FDFP FFTs) is CP-routed; the encoders' Fourier quirk FFTs over the
+    # (L, C) *token* axes (reference model.py:72) — not a spatial transform,
+    # so it stays local and XLA inserts the gather when L is sharded.
+    mesh: object = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -207,13 +214,13 @@ class _NewFamilyBase(nn.Module):
             y = apply2(DecoderBlock(
                 dim=dim, input_resolution=reso, token_mlp=tm, enc_out=True,
                 freq_attn_win_ratio=ratio, use_dwt=self.use_dwt, dtype=self.dtype,
-                name=f"decoder_{level}",
+                mesh=self.mesh, name=f"decoder_{level}",
             ), y, skip)
             if self.blocks_per_level > 1:
                 y = apply1(DecoderBlock(
                     dim=dim, input_resolution=reso, token_mlp=tm, enc_out=False,
                     freq_attn_win_ratio=2, use_dwt=self.use_dwt, dtype=self.dtype,
-                    name=f"decoder_{level}_1",
+                    mesh=self.mesh, name=f"decoder_{level}_1",
                 ), y)
             return y
 
@@ -232,7 +239,8 @@ class _NewFamilyBase(nn.Module):
 
         bott = DecoderBlock(
             dim=e * 16, input_resolution=s // 16, token_mlp=tm, enc_out=False,
-            use_dwt=self.use_dwt, dtype=self.dtype, name="bottleneck",
+            use_dwt=self.use_dwt, dtype=self.dtype, mesh=self.mesh,
+            name="bottleneck",
         )(pool3, deterministic=deterministic)
 
         up3 = Upsample(e * 16, dtype=self.dtype, name="upsample_3")(bott)

@@ -45,8 +45,8 @@ from ..ops.spectral import (
     fftn_real_spatial,
     ifftn_real_spatial,
     fft2,
-    spectral_tile_upsample,
 )
+from ..parallel import cp_ops
 
 
 def inv_mag(x):
@@ -125,6 +125,7 @@ class MDTA(nn.Module):
     channels: int
     num_heads: int
     dtype: object = jnp.float32
+    mesh: object = None  # context-parallel mesh for the frequency branch
 
     @nn.compact
     def __call__(self, x):
@@ -154,11 +155,12 @@ class MDTA(nn.Module):
         out = einops.rearrange(attn_out, "b nh c (h w) -> b h w (nh c)", h=h, w=w)
         out = conv(c, "project_out")(out)
 
-        # frequency branch (SpectralTransformer.py:102-113)
-        x_fft = fftn_real_spatial(x)
+        # frequency branch (SpectralTransformer.py:102-113); distributed FFT
+        # decomposition when the rows are context-sharded
+        x_fft = cp_ops.fftn_real_spatial(x, self.mesh)
         x_fft = gelu(x_fft)
         x_fft = conv(c, "q1x1_1")(x_fft)
-        qf = ifftn_real_spatial(x_fft)
+        qf = cp_ops.ifftn_real_spatial(x_fft, self.mesh)
         kv = conv(c * 2, "kv")(out)
         kv = conv(c * 2, "kv_conv", k=3, g=c * 2)(kv)
         kf, vf = jnp.split(kv, 2, axis=-1)
@@ -206,10 +208,12 @@ class SpectralBlock(nn.Module):
     num_heads: int
     expansion_factor: float
     dtype: object = jnp.float32
+    mesh: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = x + MDTA(self.channels, self.num_heads, dtype=self.dtype, name="attn")(
+        x = x + MDTA(self.channels, self.num_heads, dtype=self.dtype,
+                     mesh=self.mesh, name="attn")(
             LayerNorm(dtype=self.dtype, name="norm1")(x)
         )
         x = x + GDFN(self.channels, self.expansion_factor, dtype=self.dtype, name="ffn")(
@@ -241,11 +245,12 @@ class SpectralUpSample(nn.Module):
     channels: int
     channel_red: bool
     dtype: object = jnp.float32
+    mesh: object = None  # context-parallel mesh for the FFT pair
 
     @nn.compact
     def __call__(self, x):
         c = self.channels
-        f = fft2(x.astype(jnp.float32))
+        f = cp_ops.fft2(x.astype(jnp.float32), self.mesh)
         mag, pha = jnp.abs(f), jnp.angle(f)
 
         def fuse(t, name):
@@ -255,7 +260,7 @@ class SpectralUpSample(nn.Module):
 
         mag = fuse(mag, "amp_fuse")
         pha = fuse(pha, "pha_fuse")
-        out = spectral_tile_upsample(mag, pha).astype(self.dtype)
+        out = cp_ops.spectral_tile_upsample(mag, pha, self.mesh).astype(self.dtype)
         post_c = c // 2 if self.channel_red else c
         return Conv2d(post_c, 1, dtype=self.dtype, name="post")(out)
 
@@ -282,10 +287,12 @@ class UpS(nn.Module):
 
     channels: int
     dtype: object = jnp.float32
+    mesh: object = None
 
     @nn.compact
     def __call__(self, x):
-        a = SpectralUpSample(self.channels, True, dtype=self.dtype, name="Fups")(x)
+        a = SpectralUpSample(self.channels, True, dtype=self.dtype,
+                             mesh=self.mesh, name="Fups")(x)
         b = ShuffleUpSample(self.channels, dtype=self.dtype, name="Sups")(x)
         out = jnp.concatenate([a, b], axis=-1)
         return Conv2d(
@@ -307,6 +314,7 @@ class SpectralTransformer(nn.Module):
     # instead of storing its activations — realizes the reference's dormant
     # use_checkpoint hook (AST.py:673-676) and fits large res/batch in HBM
     remat: bool = False
+    mesh: object = None  # ('data','context') mesh enables context parallelism
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -321,7 +329,8 @@ class SpectralTransformer(nn.Module):
 
         def stage(y, n, c, heads, name):
             for i in range(n):
-                y = block_cls(c, heads, ef, dtype=self.dtype, name=f"{name}_{i}")(y)
+                y = block_cls(c, heads, ef, dtype=self.dtype, mesh=self.mesh,
+                              name=f"{name}_{i}")(y)
             return y
 
         fo = Conv2d(ch[0], 3, padding=1, use_bias=False, dtype=self.dtype,
@@ -334,19 +343,19 @@ class SpectralTransformer(nn.Module):
         enc4 = stage(DownSample(ch[2], dtype=self.dtype, name="down3")(enc3),
                      nb[3], ch[3], nh[3], "enc3")
 
-        up3 = ups_cls(ch[3], dtype=self.dtype, name="ups_1")(enc4)
+        up3 = ups_cls(ch[3], dtype=self.dtype, mesh=self.mesh, name="ups_1")(enc4)
         d3 = Conv2d(ch[2], 1, use_bias=False, dtype=self.dtype, name="reduces1")(
             jnp.concatenate([up3, enc3], axis=-1)
         )
         dec3 = stage(d3, nb[2], ch[2], nh[2], "dec0")
 
-        up2 = ups_cls(ch[2], dtype=self.dtype, name="ups_2")(dec3)
+        up2 = ups_cls(ch[2], dtype=self.dtype, mesh=self.mesh, name="ups_2")(dec3)
         d2 = Conv2d(ch[1], 1, use_bias=False, dtype=self.dtype, name="reduces2")(
             jnp.concatenate([up2, enc2], axis=-1)
         )
         dec2 = stage(d2, nb[1], ch[1], nh[1], "dec1")
 
-        up1 = ups_cls(ch[1], dtype=self.dtype, name="ups_3")(dec2)
+        up1 = ups_cls(ch[1], dtype=self.dtype, mesh=self.mesh, name="ups_3")(dec2)
         fd = stage(jnp.concatenate([up1, enc1], axis=-1), nb[0], ch[1], nh[0], "dec2")
         fr = stage(fd, self.num_refinement, ch[1], nh[0], "refinement")
 

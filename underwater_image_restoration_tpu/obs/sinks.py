@@ -36,6 +36,13 @@ class JsonlSink:
     def log_image(self, image, name: str):  # images live on disk already
         self.log({"image": name})
 
+    def log_histogram(self, name: str, counts, edges,
+                      step: Optional[int] = None):
+        self.log({name: {"_type": "histogram",
+                         "counts": [int(c) for c in counts],
+                         "min": float(edges[0]), "max": float(edges[-1])}},
+                 step=step)
+
     def finish(self):
         self._f.close()
 
@@ -75,6 +82,12 @@ class WandbSink:
     def log_image(self, image, name: str):
         self._wandb.log({"examples": self._wandb.Image(image, caption=name)})
 
+    def log_histogram(self, name: str, counts, edges,
+                      step: Optional[int] = None):
+        hist = self._wandb.Histogram(
+            np_histogram=(list(counts), list(edges)))
+        self._wandb.log({name: hist}, step=step)
+
     def log_model_artifact(self, checkpoint_path: str, name: str):
         """Upload a checkpoint as a W&B model artifact
         (reference wandb_logger.py:66-79)."""
@@ -97,6 +110,7 @@ class ExperimentLogger:
     def __init__(self, config, save_dir: str = ""):
         self.config = config
         self.evaluate = getattr(config, "evaluate", False)
+        self.watching = False
         self.sinks = []
         if getattr(config, "jsonl_metrics", True) and save_dir:
             self.sinks.append(JsonlSink(os.path.join(save_dir, "metrics.jsonl")))
@@ -162,9 +176,22 @@ class ExperimentLogger:
                 s.log_model_artifact(checkpoint_path, name)
 
     def watch_model(self, *_a, **_k):
-        # reference wandb.watch hooks torch grads (wandb_logger.py:25-27);
-        # grad/param norms are logged explicitly by the trainer instead.
-        pass
+        """Reference wandb.watch(model, log="all", log_freq=100)
+        (wandb_logger.py:25-27): enables the parameter/gradient histogram
+        channel.  Torch hooks don't exist in JAX; the trainer computes
+        device-side histograms in a jitted watch step (train.trainer.
+        make_watch_step) and feeds them through ``log_histograms``."""
+        if not self.evaluate:
+            self.watching = bool(self.sinks)
+
+    def log_histograms(self, hists: dict, step: Optional[int] = None):
+        """hists: {name: (counts, bin_edges)} numpy pairs."""
+        if self.evaluate:
+            return
+        for s in self.sinks:
+            if hasattr(s, "log_histogram"):
+                for name, (counts, edges) in hists.items():
+                    s.log_histogram(name, counts, edges, step=step)
 
     def finish(self):
         for s in self.sinks:

@@ -197,12 +197,30 @@ def _idwt2d_fwd(x):
     return _idwt2d_fwd_impl(x), None
 
 
+def _idwt2d_true_adjoint(g):
+    """Analytic adjoint of _idwt2d_fwd_impl:
+    dx[h,w,4g+o'] = sum_{o,i,j} g[2h+i, 2w+j, 4g+o] * rec_o[i,j]."""
+    b, c = g.shape[0], g.shape[3]
+    gp = pixel_unshuffle(g.astype(jnp.float32), 2)  # channels (c, i, j)
+    h, w = gp.shape[1], gp.shape[2]
+    gp = gp.reshape(b, h, w, c // 4, 4, 2, 2)
+    ds = jnp.einsum("bhwgoij,oij->bhwg", gp, jnp.asarray(_REC_FILTERS))
+    return (jnp.repeat(ds, 4, axis=-1).astype(g.dtype),)
+
+
 def _idwt2d_bwd(res, g):
     """Replays IDWT_function.backward (wave_modules.py:79-117) including its
-    raw NCHW reshapes that mix spatial pixels into channels."""
+    raw NCHW reshapes that mix spatial pixels into channels.
+
+    The replay's reshapes require the input height/width to be multiples of
+    4; below that the reference itself crashes (its reshape hits zero dims),
+    so for tiny maps — reachable only in tests with miniature image sizes —
+    the TRUE adjoint of the forward is used instead."""
     del res
     b, c = g.shape[0], g.shape[3]
     h, w = g.shape[1] // 2, g.shape[2] // 2
+    if h % 4 or w % 4:
+        return _idwt2d_true_adjoint(g)
     dtype = g.dtype
     gn = jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2))  # (B, C, 2H, 2W)
     # dx = dx.reshape(B, -1, H//2, W//2): pure view reshape in NCHW

@@ -148,6 +148,86 @@ def cp_window_attention(
     return f(x, bias, sw_in, mask_in)
 
 
+def cp_window_attention_qkv(
+    q, k, v, bias, *, scale: float, mesh: Mesh, batch: int,
+    sparse_w=None, mask=None,
+):
+    """Window attention with the WINDOW axis sharded over 'context' and the
+    batch over 'data' — the projection-level entry point used by the model
+    layers (WindowAttentionSparse / ASTTransformerBlock / MDASSA).
+
+    q, k, v: (B*nW, nh, N, d) with the leading axis laid out (batch-major,
+    then window-row-major) exactly as ``ops.windows.window_partition``
+    produces.  ``batch`` is B so the axis can be unflattened to (B, nW, ...)
+    — sharding nW over 'context' then aligns with contiguous window-row
+    chunks for every batch element (requires nH % n_ctx == 0; the caller
+    checks viability via ``parallel.cp_ops.cp_attention_viable``).
+
+    mask: optional (nW, N, N) global shift mask; its window axis is sharded
+    over 'context' in lockstep with q/k/v, so each shard applies exactly the
+    mask rows of its own windows.  The per-shard body goes through
+    ``ops.attention.window_attention`` so the fused Pallas kernel still
+    dispatches per shard when enabled.
+    """
+    from ..ops.attention import window_attention
+
+    nw = q.shape[0] // batch
+    use_sparse = sparse_w is not None
+    use_mask = mask is not None
+
+    def to5(t):
+        return t.reshape(batch, nw, *t.shape[1:])
+
+    def body(ql, kl, vl, bl, swl, ml):
+        b_loc, nw_loc = ql.shape[:2]
+
+        def flat(t):
+            return t.reshape(b_loc * nw_loc, *t.shape[2:])
+
+        out = window_attention(
+            flat(ql), flat(kl), flat(vl), bl, scale=scale,
+            sparse_w=swl if use_sparse else None,
+            mask=ml if use_mask else None,
+        )
+        return out.reshape(b_loc, nw_loc, *out.shape[1:])
+
+    sw_in = sparse_w if use_sparse else jnp.zeros((2,), jnp.float32)
+    mask_in = mask if use_mask else jnp.zeros(
+        (mesh.shape[CONTEXT_AXIS], 1, 1), jnp.float32)
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", CONTEXT_AXIS), P("data", CONTEXT_AXIS),
+                  P("data", CONTEXT_AXIS), P(), P(),
+                  (P(CONTEXT_AXIS, None, None) if use_mask else P())),
+        out_specs=P("data", CONTEXT_AXIS),
+    )
+    out5 = f(to5(q), to5(k), to5(v), bias, sw_in, mask_in)
+    return out5.reshape(batch * nw, *out5.shape[2:])
+
+
+def cp_roll2d(x, shift_h: int, shift_w: int, mesh: Mesh):
+    """Distributed ``jnp.roll(x, (shift_h, shift_w), axis=(1, 2))`` for a
+    row-sharded NHWC image: the W roll is shard-local, the H roll moves one
+    |shift_h|-row halo strip over ICI (reference AST.py:597-617 cyclic
+    shifts).  |shift_h| must be <= H/n_ctx."""
+
+    def body(xl):
+        if shift_w:
+            xl = jnp.roll(xl, shift_w, axis=2)
+        if shift_h < 0:
+            xl = cp_shift_roll(xl, -shift_h)
+        elif shift_h > 0:
+            xl = cp_unshift_roll(xl, shift_h)
+        return xl
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=P("data", CONTEXT_AXIS, None, None),
+        out_specs=P("data", CONTEXT_AXIS, None, None),
+    )
+    return f(x)
+
+
 # --------------------------------------------------------------------------
 # Ulysses-style head sharding
 # --------------------------------------------------------------------------
@@ -159,20 +239,16 @@ def _ulysses_local(q, k, v, bias, sparse_w, *, scale, axis_name, sparse):
     window-batch axis playing the sequence role."""
     n_dev = jax.lax.axis_size(axis_name)
 
-    def to_heads(t):  # (bq_loc, H, N, d) -> (bq_loc*n_dev, H/n_dev, N, d)
-        bq, h, n, d = t.shape
-        t = t.reshape(bq, n_dev, h // n_dev, n, d)
-        t = jax.lax.all_to_all(t, axis_name, split_axis=1, concat_axis=0,
-                               tiled=False)
-        return t.reshape(n_dev * bq, h // n_dev, n, d)
+    def to_heads(t):  # (bq_loc, H, N, d) -> (n_dev*bq_loc, H/n_dev, N, d)
+        # tiled all_to_all: heads cut into n_dev chunks, windows gathered in
+        # source-device order (tiled=False's transpose rule is broken in
+        # jax 0.9.0 — see _fft2_local)
+        return jax.lax.all_to_all(t, axis_name, split_axis=1, concat_axis=0,
+                                  tiled=True)
 
     def to_windows(t):  # inverse
-        bqg, hl, n, d = t.shape
-        bq = bqg // n_dev
-        t = t.reshape(n_dev, bq, hl, n, d)
-        t = jax.lax.all_to_all(t, axis_name, split_axis=0, concat_axis=1,
-                               tiled=False)
-        return t.reshape(bq, n_dev * hl, n, d)
+        return jax.lax.all_to_all(t, axis_name, split_axis=0, concat_axis=1,
+                                  tiled=True)
 
     qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
     h_lo = qh.shape[1]
@@ -211,21 +287,22 @@ def ulysses_window_attention(q, k, v, bias, *, mesh: Mesh, scale: float,
 def _fft2_local(x_local, axis_name: str, inverse: bool):
     """Inside shard_map: x_local (B, H_loc, W, C) complex/real, H sharded.
     FFT over W locally -> all_to_all to shard W instead of H -> FFT over H
-    locally -> all_to_all back."""
+    locally -> all_to_all back.
+
+    Uses the *tiled* all_to_all form: split_axis is cut into n contiguous
+    chunks in place and concat_axis grows n-fold in source-device order —
+    exactly the (H, W) block transpose the decomposition needs, with no
+    manual reshapes.  (The tiled=False form's transpose rule mis-counts
+    elements in jax 0.9.0, breaking the VJP; tiled=True differentiates
+    correctly.)"""
     fft = jnp.fft.ifft if inverse else jnp.fft.fft
     y = fft(x_local.astype(jnp.complex64), axis=2)        # along full W
-    n = jax.lax.axis_size(axis_name)
-    b, h_loc, w, c = y.shape
-    # split W into n chunks, all_to_all: concat H chunks / scatter W chunks
-    y = y.reshape(b, h_loc, n, w // n, c)
+    # (B, H/n, W, C) -> (B, H, W/n, C): shard W instead of H
     y = jax.lax.all_to_all(y, axis_name, split_axis=2, concat_axis=1,
-                           tiled=False)                    # (B, n, h_loc, W/n, C)?
-    y = y.reshape(b, h_loc * n, w // n, c)
+                           tiled=True)
     y = fft(y, axis=1)                                     # along full H
-    y = y.reshape(b, n, h_loc, w // n, c)
-    y = jax.lax.all_to_all(y, axis_name, split_axis=1, concat_axis=2,
-                           tiled=False)
-    return y.reshape(b, h_loc, w, c)
+    return jax.lax.all_to_all(y, axis_name, split_axis=1, concat_axis=2,
+                              tiled=True)
 
 
 def sharded_fft2(x, mesh: Mesh):

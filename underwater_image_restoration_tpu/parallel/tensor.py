@@ -31,7 +31,10 @@ def tp_shardings(params, mesh: Mesh, mesh_axis: str = CONTEXT_AXIS):
     axis_size = mesh.shape[mesh_axis]
 
     def spec(path, leaf):
-        name = str(path[-1].key) if path else ""
+        # path entries are DictKey (.key) for dict pytrees (flax params) or
+        # GetAttrKey (.name) for namedtuples (optax opt-state)
+        last = path[-1] if path else None
+        name = str(getattr(last, "key", getattr(last, "name", "")))
         return NamedSharding(mesh,
                              tp_spec_for(name, leaf.shape, mesh_axis,
                                          axis_size))

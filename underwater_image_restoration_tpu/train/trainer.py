@@ -37,7 +37,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core import config as config_lib
-from ..core.meshes import DATA_AXIS, make_mesh
+from ..core.meshes import CONTEXT_AXIS, DATA_AXIS, make_mesh
 from ..data import AugmentConfig, get_dataloaders
 from ..losses import LossFunction
 from ..models import init_model
@@ -62,14 +62,28 @@ def normalize_u8(u8):
     return jnp.asarray(u8, jnp.float32) / 255.0 * 2.0 - 1.0
 
 
+def batch_sharding(mesh) -> NamedSharding:
+    """Sharding for NHWC image batches: batch over 'data', and rows over
+    'context' when context parallelism is on (the models' CP dispatchers
+    pick up the row sharding — parallel/cp_ops.py)."""
+    if mesh.shape.get(CONTEXT_AXIS, 1) > 1:
+        return NamedSharding(mesh, P(DATA_AXIS, CONTEXT_AXIS, None, None))
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
 def make_train_step(
     model,
     lossfn: LossFunction,
     tx: optax.GradientTransformation,
     mesh=None,
     remat: bool = False,
+    state_shardings=None,
 ):
-    """Returns jitted (state, raw_u8, ref_u8, rng) -> (state, metrics)."""
+    """Returns jitted (state, raw_u8, ref_u8, rng) -> (state, metrics).
+
+    state_shardings: optional TrainState pytree of NamedShardings for
+    FSDP/TP-sharded parameters+optimizer state (parallel/tensor.py);
+    defaults to fully replicated."""
     apply_fn = model.apply
     if remat:
         apply_fn = jax.checkpoint(
@@ -110,13 +124,50 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step, donate_argnums=0)
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(DATA_AXIS))
+    state_sh = repl if state_shardings is None else state_shardings
+    data = batch_sharding(mesh)
     return jax.jit(
         step,
-        in_shardings=(repl, data, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, data, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=0,
     )
+
+
+WATCH_LOG_FREQ = 100  # reference wandb.watch log_freq (wandb_logger.py:27)
+WATCH_BINS = 64
+
+
+def make_watch_step(model, lossfn: LossFunction, bins: int = WATCH_BINS):
+    """jitted (params, raw_u8, ref_u8, rng) -> {name: (counts, edges)}.
+
+    Rebuilds the reference's ``wandb.watch(model, log="all", log_freq=100)``
+    channel (wandb_logger.py:25-27): per-leaf histograms of every parameter
+    and its gradient, computed on device.  Torch's backward hooks don't
+    exist in JAX, so the gradients are recomputed from the watched batch —
+    ~1/log_freq duty cycle, and the histograms reflect the params right
+    after the watched step's update (one step later than torch's hook)."""
+
+    def loss_only(params, x, y, rng):
+        out = model.apply(params, x, deterministic=False,
+                          rngs={"dropout": rng}).astype(jnp.float32)
+        res = lossfn(out, y)
+        return res[0] if lossfn.returns_components else res
+
+    def watch(params, raw_u8, ref_u8, rng):
+        x, y = normalize_u8(raw_u8), normalize_u8(ref_u8)
+        grads = jax.grad(loss_only)(params, x, y, rng)
+        out = {}
+        for prefix, tree in (("parameters", params), ("gradients", grads)):
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+                keys = [str(k.key) for k in path]
+                if keys and keys[0] == "params":
+                    keys = keys[1:]
+                out[prefix + "/" + "/".join(keys)] = jnp.histogram(
+                    leaf.astype(jnp.float32).ravel(), bins=bins)
+        return out
+
+    return jax.jit(watch)
 
 
 def make_eval_step(model, lossfn: LossFunction, mesh=None):
@@ -142,8 +193,9 @@ def make_eval_step(model, lossfn: LossFunction, mesh=None):
     if mesh is None:
         return jax.jit(step)
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.jit(step, in_shardings=(repl, data, data, data),
+    img = batch_sharding(mesh)
+    vec = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(step, in_shardings=(repl, img, img, vec),
                    out_shardings=repl)
 
 
@@ -192,13 +244,20 @@ class ModelTrainer:
                 f"train_batch_size={cfg.train_batch_size} not divisible by "
                 f"data-parallel size {n_data}"
             )
+        n_ctx = mesh.shape[CONTEXT_AXIS]
+        if n_ctx > 1 and cfg.image_size % n_ctx:
+            raise ValueError(
+                f"image_size={cfg.image_size} not divisible by "
+                f"context-parallel size {n_ctx}")
         model = init_model(arch, use_dwt=cfg.use_dwt, dtype=_compute_dtype(cfg),
-                           remat=cfg.remat, img_size=cfg.image_size)
+                           remat=cfg.remat, img_size=cfg.image_size,
+                           mesh=mesh if n_ctx > 1 else None)
         rng = jax.random.PRNGKey(cfg.seed)
         sample = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
         params = jax.jit(model.init)(rng, sample)
 
-        lossfn = LossFunction(cfg.lossf, vgg_weights=cfg.vgg_weights)
+        lossfn = LossFunction(cfg.lossf, vgg_weights=cfg.vgg_weights,
+                              allow_placeholder_vgg=cfg.allow_placeholder_vgg)
         tx = get_optimizer(
             cfg.optim, lr, weight_decay=cfg.weight_decay,
             momentum=cfg.momentum, sgd_nesterov=cfg.sgd_nesterov,
@@ -208,7 +267,19 @@ class ModelTrainer:
         state = TrainState(params=params, opt_state=tx.init(params),
                            step=jnp.zeros((), jnp.int32))
         repl = NamedSharding(mesh, P())
-        state = jax.device_put(state, repl)
+        state_sh = repl
+        if cfg.shard_params:
+            # FSDP/ZeRO-style ('data') or tensor-parallel ('context') kernel
+            # sharding of params + optimizer state; XLA inserts the gathers
+            from ..parallel import tp_shardings
+
+            axis = DATA_AXIS if cfg.shard_params == "data" else CONTEXT_AXIS
+            state_sh = TrainState(
+                params=tp_shardings(state.params, mesh, axis),
+                opt_state=tp_shardings(state.opt_state, mesh, axis),
+                step=repl,
+            )
+        state = jax.device_put(state, state_sh)
 
         start_time = time.time()
         run_name = f"{cfg.lossf}-{cfg.lr}-{arch}-{start_time}-{cfg.use_dwt}"
@@ -230,7 +301,7 @@ class ModelTrainer:
                 params=restored["params"], opt_state=restored["opt_state"],
                 step=state.step,
             )
-            state = jax.device_put(state, repl)
+            state = jax.device_put(state, state_sh)
             start_epoch = int(restored["epoch"]) + 1
             best_loss = float(restored["extra"].get("best", float("inf")))
             train_loader.load_state_dict(restored["loader"])
@@ -243,11 +314,16 @@ class ModelTrainer:
         ckpt_latest = CheckpointManager(os.path.join(run_dir, "latest"),
                                         max_to_keep=1, keep_best=False)
         explog = ExperimentLogger(cfg, save_dir=run_dir)
+        explog.watch_model(model)  # reference ModelTrainer.py:43-44
+        watch_freq = getattr(cfg, "watch_freq", WATCH_LOG_FREQ)
+        watch_step = (make_watch_step(model, lossfn)
+                      if explog.watching and watch_freq > 0 else None)
         schedule = multistep_lr(lr)
 
         # remat is handled per-block inside the models (init_model above);
         # make_train_step's coarse remat stays available for custom models
-        train_step = make_train_step(model, lossfn, tx, mesh=mesh)
+        train_step = make_train_step(model, lossfn, tx, mesh=mesh,
+                                     state_shardings=state_sh)
         first_step_done = False
 
         def run_step(st, raw_d, ref_d, rng_d):
@@ -257,6 +333,10 @@ class ModelTrainer:
             nonlocal train_step, first_step_done
             if first_step_done:
                 return train_step(st, raw_d, ref_d, rng_d)
+            # The jitted step donates ``st``; a failure at *execution* time
+            # (post-dispatch OOM) leaves its buffers deleted, so keep a host
+            # snapshot to rebuild the state for the retry (first step only).
+            st_host = jax.device_get(st)
             try:
                 out = train_step(st, raw_d, ref_d, rng_d)
             except Exception as e:
@@ -265,13 +345,17 @@ class ModelTrainer:
                 print(f"Pallas attention failed to compile "
                       f"({type(e).__name__}); retrying with UIRT_NO_PALLAS=1")
                 os.environ["UIRT_NO_PALLAS"] = "1"
-                train_step = make_train_step(model, lossfn, tx, mesh=mesh)
+                train_step = make_train_step(model, lossfn, tx, mesh=mesh,
+                                             state_shardings=state_sh)
+                st = jax.device_put(st_host, state_sh)
                 out = train_step(st, raw_d, ref_d, rng_d)
             first_step_done = True
             return out
         eval_step = make_eval_step(model, lossfn, mesh=mesh)
-        data_sh = NamedSharding(mesh, P(DATA_AXIS))
-        put = lambda a: jax.device_put(jnp.asarray(a), data_sh)
+        img_sh = batch_sharding(mesh)
+        vec_sh = NamedSharding(mesh, P(DATA_AXIS))
+        put = lambda a: jax.device_put(
+            jnp.asarray(a), img_sh if np.ndim(a) == 4 else vec_sh)
         step_rng = jax.device_put(jax.random.PRNGKey(cfg.seed + 1), repl)
         timer = StepTimer()
 
@@ -285,15 +369,22 @@ class ModelTrainer:
                         jax.device_get(state.opt_state), schedule(epoch)),
                     step=state.step,
                 )
-                state = jax.device_put(state, repl)
+                state = jax.device_put(state, state_sh)
                 epoch_metrics = []
                 t0 = time.time()
                 train_loader.epoch = epoch
                 for bi, batch in enumerate(train_loader):
                     timer.start()
-                    state, m = run_step(state, put(batch.raw),
-                                        put(batch.ref), step_rng)
+                    raw_d, ref_d = put(batch.raw), put(batch.ref)
+                    state, m = run_step(state, raw_d, ref_d, step_rng)
                     epoch_metrics.append(m)
+                    gstep = epoch * nb + bi
+                    if watch_step is not None and gstep % watch_freq == 0:
+                        explog.log_histograms(
+                            jax.device_get(watch_step(
+                                state.params, raw_d, ref_d,
+                                jax.random.fold_in(step_rng, state.step))),
+                            step=gstep)
                     if (bi + 1) % max(1, cfg.print_freq) == 0:
                         lv, gn = float(m["loss"]), float(m["grad_norm"])
                         print(f"Batch {bi + 1}/{nb}, Loss: {lv:.6f}, "
@@ -326,16 +417,19 @@ class ModelTrainer:
                      "train/epoch_loss": avg_epoch_loss}, epoch)
 
                 # -- validation (reference ModelTrainer.py:132-158) ---------
+                # The batch loss is weighted by its valid count so the padded
+                # (row-repeated) final short batch can't bias avg_val_loss —
+                # which drives best-checkpoint selection.
                 val = {"loss": 0.0, "psnr_sum": 0.0, "ssim_sum": 0.0, "n": 0.0}
-                n_batches = 0
                 for batch in test_loader:
                     r = jax.device_get(eval_step(
                         state.params, put(batch.raw), put(batch.ref),
                         put(batch.valid)))
-                    for k in val:
+                    nv = batch.num_valid
+                    val["loss"] += float(r["loss"]) * nv
+                    for k in ("psnr_sum", "ssim_sum", "n"):
                         val[k] += float(r[k])
-                    n_batches += 1
-                avg_val_loss = val["loss"] / max(1, n_batches)
+                avg_val_loss = val["loss"] / max(1.0, val["n"])
                 avg_psnr = val["psnr_sum"] / max(1.0, val["n"])
                 avg_ssim = val["ssim_sum"] / max(1.0, val["n"])
                 print(f"Validation Loss: {avg_val_loss:.6f}")
