@@ -8,30 +8,48 @@ f32 params, per-block remat (blocks AND the FFT UpS modules), batch 64
 (the single-chip HBM sweet spot: 8/no-remat -> 1.2k img/s, 32/remat ->
 ~8.8k, 64/remat+UpS-remat -> ~13.9k img/s), single chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus
+"archs" with per-arch throughput for the rest of the model zoo and
+"baseline_note" labeling the denominator}.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md) —
 the only W&B-logged `epochTime` values aren't in the repo.  The denominator
 used here is an *estimate* of the PyTorch reference's A100 train-step
 throughput for this model/resolution (40 img/s), chosen so the BASELINE.json
-north-star "≥5x A100 wall-clock" maps to vs_baseline ≥ 5.0.
+north-star "≥5x A100 wall-clock" maps to vs_baseline ≥ 5.0.  The JSON
+carries that caveat in-band (``baseline_note``) so the ratio can't be read
+as a measurement.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
-BATCH = 64
 SIZE = 256
 WARMUP = 3
 STEPS = 20
 A100_PYTORCH_EST_IMG_PER_SEC = 40.0  # see module docstring
 
+# Per-arch sweep (VERDICT.md round-1 next #7): batch = each arch's measured
+# single-chip HBM sweet spot; fewer timing windows to bound bench runtime.
+# NewBigModel@512's Pallas graph OOMs the remote compile host, so it runs
+# with the XLA attention path (UIRT_NO_PALLAS).
+ZOO = [
+    # (label, arch, kwargs, size, batch_ladder, windows, no_pallas)
+    ("AST@256", "AST", {}, 256, (32, 16, 8), 2, False),
+    ("NewModel-Wavelet@256", "NewModel", {"use_dwt": "Wavelet"}, 256,
+     (8, 4, 2), 2, False),
+    ("NewBigModel@512", "NewBigModel", {"use_dwt": "Wavelet"}, 512,
+     (2, 1), 2, True),
+]
 
-def _run(batch: int) -> float:
+
+def _run(arch: str, size: int, batch: int, *, windows: int = 3,
+         steps: int = STEPS, **model_kw) -> float:
     from underwater_image_restoration_tpu.data import synthetic_pair_batch
     from underwater_image_restoration_tpu.losses import LossFunction
     from underwater_image_restoration_tpu.models import init_model
@@ -39,9 +57,10 @@ def _run(batch: int) -> float:
         TrainState, get_optimizer, make_train_step,
     )
 
-    model = init_model("SpectralTransformer", dtype=jnp.bfloat16, remat=True)
+    model = init_model(arch, dtype=jnp.bfloat16, remat=True,
+                       img_size=size, **model_kw)
     params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32)
     )
     tx = get_optimizer("adam", 3e-4)
     state = TrainState(params=params, opt_state=tx.init(params),
@@ -52,7 +71,7 @@ def _run(batch: int) -> float:
     # pipeline prefetches in parallel during real training)
     batches = []
     for i in range(4):
-        raw, ref = synthetic_pair_batch(batch, SIZE, seed=i)
+        raw, ref = synthetic_pair_batch(batch, size, seed=i)
         batches.append((jax.device_put(jnp.asarray(raw)),
                         jax.device_put(jnp.asarray(ref))))
     rng = jax.random.PRNGKey(1)
@@ -62,36 +81,63 @@ def _run(batch: int) -> float:
         state, m = step(state, raw, ref, rng)
     jax.block_until_ready(m["loss"])
 
-    # best of 3 windows: the shared chip has transient contention, and the
+    # best of N windows: the shared chip has transient contention, and the
     # fastest window is the least-contended estimate of our own speed
     best = 0.0
-    for _ in range(3):
+    for _ in range(windows):
         t0 = time.perf_counter()
-        for i in range(STEPS):
+        for i in range(steps):
             raw, ref = batches[i % len(batches)]
             state, m = step(state, raw, ref, rng)
         jax.block_until_ready(m["loss"])
-        best = max(best, batch * STEPS / (time.perf_counter() - t0))
+        best = max(best, batch * steps / (time.perf_counter() - t0))
     return best
 
 
-def main():
-    # the chip is shared behind a tunnel: another tenant's HBM use can OOM
-    # the batch-32 sweet spot, so fall back rather than fail the bench
+def _run_ladder(arch: str, size: int, ladder, *, windows: int,
+                steps: int = STEPS, **model_kw):
+    """Try batch sizes largest-first: another tenant's HBM use can OOM the
+    sweet spot, so fall back rather than fail the bench."""
     last_err = None
-    for batch in (BATCH, 32, 16, 8):
+    for batch in ladder:
         try:
-            imgs_per_sec = _run(batch)
-            break
+            return _run(arch, size, batch, windows=windows, steps=steps,
+                        **model_kw)
         except Exception as e:  # XlaRuntimeError: RESOURCE_EXHAUSTED etc.
             last_err = e
-    else:
-        raise last_err
+    raise last_err
+
+
+def main():
+    imgs_per_sec = _run_ladder("SpectralTransformer", SIZE, (64, 32, 16, 8),
+                               windows=3)
+
+    archs = {}
+    for label, arch, kw, size, ladder, windows, no_pallas in ZOO:
+        prev = os.environ.get("UIRT_NO_PALLAS")
+        try:
+            if no_pallas:
+                os.environ["UIRT_NO_PALLAS"] = "1"
+            archs[label] = round(
+                _run_ladder(arch, size, ladder, windows=windows,
+                            steps=10, **kw), 2)
+        except Exception as e:
+            archs[label] = f"failed: {type(e).__name__}"
+        finally:
+            if prev is None:
+                os.environ.pop("UIRT_NO_PALLAS", None)
+            else:
+                os.environ["UIRT_NO_PALLAS"] = prev
+
     print(json.dumps({
         "metric": "UIEB 256^2 SpectralTransformer train-step throughput",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / A100_PYTORCH_EST_IMG_PER_SEC, 3),
+        "baseline_note": "denominator is an unmeasured 40 img/s A100 "
+                         "PyTorch ESTIMATE (the reference publishes no "
+                         "throughput); vs_baseline >= 5 meets the north-star",
+        "archs": archs,
     }))
 
 

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Profile one train step of an arch on the TPU and print the top self-time
+ops (VERDICT.md round-1 next #6/#7: quantify the early-level lane-padding
+cost and the NewModel-Wavelet gap with a real profile, not guesses).
+
+Usage:
+    python experiments/profile_arch.py -a NewModel --use-dwt Wavelet \
+        --batch 8 --size 256 [--steps 5] [--out /tmp/prof]
+
+Writes a jax.profiler trace then parses the xplane with
+tensorboard_plugin_profile and prints a per-op self-time table.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import time
+
+
+def run(arch: str, size: int, batch: int, use_dwt: str, steps: int,
+        out: str, remat: bool = True):
+    import jax
+    import jax.numpy as jnp
+
+    from underwater_image_restoration_tpu.data import synthetic_pair_batch
+    from underwater_image_restoration_tpu.losses import LossFunction
+    from underwater_image_restoration_tpu.models import init_model
+    from underwater_image_restoration_tpu.train import (
+        TrainState, get_optimizer, make_train_step,
+    )
+
+    kw = {}
+    if arch.startswith("New"):
+        kw["use_dwt"] = use_dwt
+    model = init_model(arch, dtype=jnp.bfloat16, remat=remat,
+                       img_size=size, **kw)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32))
+    tx = get_optimizer("adam", 3e-4)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(model, LossFunction("L1withColor"), tx)
+    raw, ref = synthetic_pair_batch(batch, size, seed=0)
+    raw_d, ref_d = jax.device_put(jnp.asarray(raw)), jax.device_put(
+        jnp.asarray(ref))
+    rng = jax.random.PRNGKey(1)
+
+    for _ in range(3):
+        state, m = step(state, raw_d, ref_d, rng)
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, raw_d, ref_d, rng)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    print(f"throughput: {batch * steps / dt:.1f} img/s "
+          f"({dt / steps * 1e3:.2f} ms/step)")
+
+    with jax.profiler.trace(out):
+        for _ in range(steps):
+            state, m = step(state, raw_d, ref_d, rng)
+        jax.block_until_ready(m["loss"])
+    print(f"trace -> {out}")
+    return out
+
+
+def parse_trace(out: str, top: int = 40):
+    """Print per-op self time from the xplane protobuf."""
+    paths = sorted(glob.glob(os.path.join(
+        out, "plugins/profile/*/*.xplane.pb")))
+    if not paths:
+        print("no xplane found under", out)
+        return
+    path = paths[-1]
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
+    except ImportError as e:
+        print("tensorboard_plugin_profile unavailable:", e)
+        return
+    try:
+        data, _ = raw_to_tool_data.xspace_to_tool_data(
+            [path], "framework_op_stats", {})
+        stats = json.loads(data) if isinstance(data, (str, bytes)) else data
+        print(json.dumps(stats, indent=1)[:4000])
+        return
+    except Exception as e:
+        print("framework_op_stats failed:", e)
+    # fallback: raw xplane walk
+    try:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except ImportError:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2  # type: ignore
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "/device:" not in plane.name:
+            continue
+        evs = {}
+        meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                d, n = evs.get(name, (0, 0))
+                evs[name] = (d + ev.duration_ps, n + 1)
+        rows = sorted(evs.items(), key=lambda kv: -kv[1][0])[:top]
+        tot = sum(d for d, _ in evs.values())
+        print(f"== plane {plane.name}: {len(evs)} op names, "
+              f"total {tot / 1e12 * 1e3:.2f} ms (all lines)")
+        for name, (d, n) in rows:
+            print(f"{d / 1e9:10.3f} ms  {100 * d / max(tot, 1):5.1f}%  "
+                  f"x{n:<5d} {name[:110]}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-a", "--arch", default="NewModel")
+    p.add_argument("--use-dwt", default="Wavelet")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--out", default="")
+    p.add_argument("--parse-only", action="store_true")
+    p.add_argument("--top", type=int, default=40)
+    a = p.parse_args()
+    out = a.out or f"/tmp/prof_{a.arch}_{a.use_dwt}_{a.size}_{a.batch}"
+    if not a.parse_only:
+        run(a.arch, a.size, a.batch, a.use_dwt, a.steps, out,
+            remat=not a.no_remat)
+    parse_trace(out, a.top)
+
+
+if __name__ == "__main__":
+    main()

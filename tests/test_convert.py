@@ -158,22 +158,25 @@ def test_new_model_convert_and_forward_parity(use_dwt):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
-@pytest.mark.parametrize("ref_name,arch", [
-    ("MyBigModel", "NewBigModel"),
-    ("MyBigFRFNModel", "NewBigFRFNModel"),
+@pytest.mark.parametrize("ref_name,arch,use_dwt", [
+    ("MyBigModel", "NewBigModel", "Wavelet"),
+    ("MyBigModel", "NewBigModel", "Fourier"),
+    ("MyBigFRFNModel", "NewBigFRFNModel", "Wavelet"),
+    ("MyBigFRFNModel", "NewBigFRFNModel", "Fourier"),
 ])
-def test_new_big_models_convert_and_forward_parity(ref_name, arch):
+def test_new_big_models_convert_and_forward_parity(ref_name, arch, use_dwt):
     """Full forward parity for the 2-blocks-per-level family — NewBigModel is
     the arch behind the reference's published checkpoint (eval.ipynb cell 1).
     The reference's own .forward crashes (undefined adaptive_pool /
     conv_super_*, model.py:396,449), so the oracle drives its submodules in
-    the working order."""
+    the working order.  Both FDFP modes are pinned (Fourier is the
+    reference's default, model.py:281)."""
     mod = ref_oracle.load_new_model_module()
     torch.manual_seed(0)
-    m = getattr(mod, ref_name)(img_size=128, use_dwt="Wavelet")
+    m = getattr(mod, ref_name)(img_size=128, use_dwt=use_dwt)
     m.eval()
     sd = {k: v.numpy() for k, v in m.state_dict().items()}
-    ours = init_model(arch, img_size=128, use_dwt="Wavelet")
+    ours = init_model(arch, img_size=128, use_dwt=use_dwt)
     variables = _coverage(arch, sd, ours, (1, 128, 128, 3))
     x = np.random.default_rng(3).standard_normal((1, 3, 128, 128)).astype(
         np.float32)

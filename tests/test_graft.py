@@ -71,4 +71,6 @@ def test_dryrun_multichip_initialized_small_backend():
 
 def test_bench_importable():
     b = _load("/root/repo/bench.py", "bench_test")
-    assert callable(b.main) and b.BATCH >= 8
+    assert callable(b.main) and callable(b._run_ladder)
+    # per-arch sweep covers the rest of the zoo (VERDICT.md round-1 next #7)
+    assert {z[1] for z in b.ZOO} == {"AST", "NewModel", "NewBigModel"}
