@@ -40,11 +40,15 @@ A100_PYTORCH_EST_IMG_PER_SEC = 40.0  # see module docstring
 # with the XLA attention path (UIRT_NO_PALLAS).
 ZOO = [
     # (label, arch, kwargs, size, batch_ladder, windows, no_pallas)
+    # ladders = measured single-chip sweet spots (experiments/
+    # ablate_newmodel.py): NewModel bs16 is ~2x bs8 (4.9k vs 2.6k img/s);
+    # NewBigModel@512 bs4 is ~2.3x bs2 (723 vs 318); larger batches crash
+    # the remote compile helper (bs24/bs32 NewModel, bs64 AST).
     ("AST@256", "AST", {}, 256, (32, 16, 8), 2, False),
     ("NewModel-Wavelet@256", "NewModel", {"use_dwt": "Wavelet"}, 256,
-     (8, 4, 2), 2, False),
+     (16, 8, 4), 2, False),
     ("NewBigModel@512", "NewBigModel", {"use_dwt": "Wavelet"}, 512,
-     (2, 1), 2, True),
+     (4, 2, 1), 2, True),
 ]
 
 

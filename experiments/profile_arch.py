@@ -16,7 +16,10 @@ import argparse
 import glob
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(arch: str, size: int, batch: int, use_dwt: str, steps: int,
@@ -75,24 +78,9 @@ def parse_trace(out: str, top: int = 40):
         print("no xplane found under", out)
         return
     path = paths[-1]
-    try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data
-    except ImportError as e:
-        print("tensorboard_plugin_profile unavailable:", e)
-        return
-    try:
-        data, _ = raw_to_tool_data.xspace_to_tool_data(
-            [path], "framework_op_stats", {})
-        stats = json.loads(data) if isinstance(data, (str, bytes)) else data
-        print(json.dumps(stats, indent=1)[:4000])
-        return
-    except Exception as e:
-        print("framework_op_stats failed:", e)
-    # fallback: raw xplane walk
-    try:
-        from tensorflow.core.profiler.protobuf import xplane_pb2
-    except ImportError:
-        from tensorboard_plugin_profile.protobuf import xplane_pb2  # type: ignore
+    # (tensorboard_plugin_profile 2.13 is protobuf-incompatible with this
+    # environment's protobuf 5.x — parse the xplane directly)
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
     xs = xplane_pb2.XSpace()
     with open(path, "rb") as f:
         xs.ParseFromString(f.read())
