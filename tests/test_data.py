@@ -1,5 +1,7 @@
 """Data pipeline tests: pairing, determinism, resume, padding, augmentation
 (oracle: torchvision for contrast semantics)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -41,6 +43,29 @@ def test_dataset_pairing_and_resize(uieb_dirs):
     assert len(ds) == 11
     r, g = ds[0]
     assert r.shape == g.shape == (8, 8, 3) and r.dtype == np.uint8
+
+
+def test_decoded_cache_matches_and_invalidates(uieb_dirs, tmp_path):
+    """CachedUIEBDataset serves bit-identical pairs from the memmap, reuses
+    the cache across instances, and rebuilds when the listing changes."""
+    from underwater_image_restoration_tpu.data.cache import CachedUIEBDataset
+
+    cache = str(tmp_path / "cache")
+    ds = UIEBDataset(*uieb_dirs, image_size=8)
+    cds = CachedUIEBDataset(ds, cache)
+    assert len(cds) == len(ds)
+    for i in (0, 5, 10):
+        r, g = ds[i]
+        cr, cg = cds[i]
+        np.testing.assert_array_equal(cr, r)
+        np.testing.assert_array_equal(cg, g)
+    files = sorted(os.listdir(cache))
+    # second instance reuses the same files (no rebuild)
+    CachedUIEBDataset(UIEBDataset(*uieb_dirs, image_size=8), cache)
+    assert sorted(os.listdir(cache)) == files
+    # a different resolution gets its own tag
+    CachedUIEBDataset(UIEBDataset(*uieb_dirs, image_size=4), cache)
+    assert len(os.listdir(cache)) == 2 * len(files)
 
 
 def test_dataset_unpaired_raises(uieb_dirs, tmp_path):

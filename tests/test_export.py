@@ -1,0 +1,53 @@
+"""AOT export (tools/export_model.py): serialized StableHLO artifact must
+reproduce the live forward, including with a symbolic batch dimension."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from underwater_image_restoration_tpu.models import init_model
+from underwater_image_restoration_tpu.tools.export_model import (
+    export_model, load_exported,
+)
+
+
+def test_export_roundtrip_symbolic_batch():
+    arch, size = "SpectralTransformer", 16
+    model = init_model(arch, dtype=jnp.float32,
+                       num_blocks=(1, 1, 1, 1), channels=(4, 8, 16, 32),
+                       num_heads=(1, 2, 4, 8), num_refinement=1)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32))
+
+    # export_model builds its own default-config model from init_model(arch);
+    # this tiny-config path exports directly so the equality check stays fast
+    from jax import export as jax_export
+
+    def forward(x):
+        return model.apply(variables, x, deterministic=True).astype(
+            jnp.float32)
+
+    (b,) = jax_export.symbolic_shape("b")
+    blob = jax_export.export(jax.jit(forward), platforms=["cpu"])(
+        jax.ShapeDtypeStruct((b, size, size, 3), jnp.float32)).serialize()
+
+    fn = load_exported(blob)
+    for batch in (1, 3):
+        x = jnp.asarray(np.random.default_rng(batch).standard_normal(
+            (batch, size, size, 3), dtype=np.float32))
+        want = np.asarray(forward(x))
+        got = np.asarray(fn(x))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_export_model_entry_point():
+    """The public export_model() path (default-config model) serializes and
+    the blob deserializes to a callable."""
+    model = init_model("SpectralTransformer", img_size=16, dtype=jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3), jnp.float32))
+    blob = export_model("SpectralTransformer", variables, size=16, batch=2,
+                        compute_dtype=jnp.float32, platforms=("cpu",))
+    fn = load_exported(blob)
+    x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    out = np.asarray(fn(x))
+    assert out.shape == (2, 16, 16, 3) and np.isfinite(out).all()

@@ -86,6 +86,45 @@ def test_window_partition_reverse_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(back), np.asarray(x))
 
 
+def test_window_partition_dilated_matches_unfold(rng):
+    """Dilated path == the reference's F.unfold geometry (AST.py:377-390:
+    kernel=win, dilation=d, padding=4*(d-1), stride=win).  Dead in the
+    reference (always dilation_rate=1) but carried for API completeness."""
+    import torch.nn.functional as F
+
+    b, h, w, c, ws, d = 2, 16, 16, 3, 4, 2
+    x = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    wins = ops.window_partition(jnp.asarray(x), ws, dilation_rate=d)
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    u = F.unfold(xt, kernel_size=ws, dilation=d, padding=4 * (d - 1),
+                 stride=ws)
+    want = (u.permute(0, 2, 1).reshape(-1, c, ws, ws)
+            .permute(0, 2, 3, 1).numpy())
+    assert wins.shape == want.shape
+    np.testing.assert_allclose(np.asarray(wins), want, atol=1e-6)
+
+
+def test_window_reverse_dilated_matches_fold(rng):
+    """Reverse == F.fold (sum over overlapping samples).  The reference's
+    own dilated window_reverse crashes (AST.py:397 permutes 6 axes of a 4-D
+    tensor); this implements the inverse it intended."""
+    import torch.nn.functional as F
+
+    b, h, w, c, ws, d = 2, 16, 16, 3, 4, 2
+    pad = 4 * (d - 1)
+    n = (h + 2 * pad - ((ws - 1) * d + 1)) // ws + 1
+    wins = rng.standard_normal((b * n * n, ws, ws, c), dtype=np.float32)
+    out = ops.window_reverse(jnp.asarray(wins), ws, h, w, dilation_rate=d)
+
+    wt = (torch.from_numpy(wins).permute(0, 3, 1, 2)
+          .reshape(b, n * n, c * ws * ws).permute(0, 2, 1))
+    want = F.fold(wt, (h, w), kernel_size=ws, dilation=d, padding=pad,
+                  stride=ws).permute(0, 2, 3, 1).numpy()
+    assert out.shape == want.shape
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
+
+
 def test_shift_window_mask_structure():
     m = ops.shift_window_mask(8, 8, 4, 2)
     assert m.shape == (4, 16, 16)

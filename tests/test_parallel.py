@@ -181,7 +181,10 @@ def test_cp_model_train_step_matches_single_device(name):
 
     arch = name.split("-")[0]
     kw = _CP_MODELS[name]
-    cp_mesh = make_mesh(data=4, context=2)
+    # AST gets the deeper context=4 split (4 window rows at 32^2/win 8);
+    # the rest use context=2
+    ctx = 4 if name == "AST" else 2
+    cp_mesh = make_mesh(data=8 // ctx, context=ctx)
     m_single = init_model(arch, **kw)
     m_cp = init_model(arch, mesh=cp_mesh, **kw)
 

@@ -156,6 +156,11 @@ def argument_parser() -> argparse.ArgumentParser:
                         help="write jax.profiler traces here when set")
     parser.add_argument("--vgg-weights", type=str, default="",
                         help="converted VGG16 .npz for perceptual losses")
+    parser.add_argument("--cache-decoded", type=str, default="",
+                        help="directory for a decoded-image uint8 memmap "
+                             "cache: decode+resize happens once, later "
+                             "epochs stream zero-copy (the reference "
+                             "re-decodes every epoch)")
     parser.add_argument("--watch-freq", type=int, default=100,
                         help="parameter/gradient histogram logging cadence "
                              "in steps (reference wandb.watch log_freq=100, "

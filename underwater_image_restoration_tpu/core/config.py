@@ -83,6 +83,9 @@ class Config:
     jsonl_metrics: bool = True    # JSONL metric sink alongside/instead of wandb
     profile_dir: str = ""         # when set, jax.profiler traces land here
     vgg_weights: str = ""         # path to converted VGG16 .npz for perceptual losses
+    cache_decoded: str = ""       # when set, decode+resize once into a uint8
+    #                               memmap cache dir and stream later epochs
+    #                               from it (data/cache.py)
     watch_freq: int = 100         # param/grad histogram cadence in steps
     #                               (reference wandb.watch log_freq=100,
     #                               wandb_logger.py:27); 0 disables

@@ -166,15 +166,23 @@ def get_dataloaders(
     test_batch_size: Optional[int] = None,
     seed: int = 1,
     augment: Optional[AugmentConfig] = None,
+    cache_dir: Optional[str] = None,
 ):
-    """API parity with reference DataLoader.py:11 (plus TPU knobs)."""
+    """API parity with reference DataLoader.py:11 (plus TPU knobs).
+
+    cache_dir: when set, decode+resize runs once and later epochs stream
+    uint8 slices from a disk memmap (data/cache.py) — removes the per-epoch
+    libjpeg cost the reference pays on every pass."""
+    from .cache import maybe_cached
+
     train = PairedLoader(
-        UIEBDataset(raw_dir, ref_dir, image_size),
+        maybe_cached(UIEBDataset(raw_dir, ref_dir, image_size), cache_dir),
         batch_size=batch_size, shuffle=True, seed=seed,
         num_workers=num_workers, augment=augment,
     )
     test = PairedLoader(
-        UIEBDataset(test_raw_dir, test_ref_dir, image_size),
+        maybe_cached(UIEBDataset(test_raw_dir, test_ref_dir, image_size),
+                     cache_dir),
         batch_size=test_batch_size or batch_size, shuffle=False, seed=seed,
         num_workers=num_workers, augment=None,
     )

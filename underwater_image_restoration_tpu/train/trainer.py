@@ -234,6 +234,7 @@ class ModelTrainer:
             test_batch_size=cfg.test_batch_size,
             num_workers=cfg.workers, image_size=cfg.image_size,
             seed=cfg.seed, augment=augment,
+            cache_dir=cfg.cache_decoded or None,
         )
 
         print("Initializing model...")
