@@ -125,6 +125,22 @@ def test_window_reverse_dilated_matches_fold(rng):
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
 
 
+def test_spectral_tile_upsample_matches_literal_form(rng):
+    """The zero-stuff identity must be bit-identical to the reference's
+    literal tile-then-big-ifft form (SpectralTransformer.py:174-187)."""
+    from underwater_image_restoration_tpu.ops.spectral import (
+        spectral_tile_upsample,
+    )
+
+    mag = jnp.asarray(rng.standard_normal((2, 8, 12, 3)).astype(np.float32))
+    pha = jnp.asarray(rng.standard_normal((2, 8, 12, 3)).astype(np.float32))
+    mag2, pha2 = jnp.tile(mag, (1, 2, 2, 1)), jnp.tile(pha, (1, 2, 2, 1))
+    literal = jnp.abs(jnp.fft.ifftn(
+        mag2 * jnp.cos(pha2) + 1j * mag2 * jnp.sin(pha2), axes=(1, 2)))
+    got = spectral_tile_upsample(mag, pha)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(literal))
+
+
 def test_shift_window_mask_structure():
     m = ops.shift_window_mask(8, 8, 4, 2)
     assert m.shape == (4, 16, 16)

@@ -39,12 +39,21 @@ def inv_mag(x):
     return jnp.real(ifft2(jnp.exp(1j * phase))).astype(x.dtype)
 
 
+def zero_stuff2x(x):
+    """(B, H, W, C) -> (B, 2H, 2W, C) with x at the even positions."""
+    b, h, w, c = x.shape
+    out = jnp.zeros((b, 2 * h, 2 * w, c), x.dtype)
+    return out.at[:, ::2, ::2, :].set(x)
+
+
 def spectral_tile_upsample(mag, phase):
     """The FFT-upsample core (reference SpectralTransformer.py:174-187):
-    tile magnitude/phase 2x2 in space, recombine polar, ifft2, abs."""
-    mag2 = jnp.tile(mag, (1, 2, 2, 1))
-    pha2 = jnp.tile(phase, (1, 2, 2, 1))
-    real = mag2 * jnp.cos(pha2)
-    imag = mag2 * jnp.sin(pha2)
-    out = jnp.fft.ifftn(real + 1j * imag, axes=(1, 2))
-    return jnp.abs(out)
+    tile magnitude/phase 2x2 in space, recombine polar, ifft2, abs.
+
+    Computed via the analytic identity ifft2(tile(F, 2, 2)) ==
+    zero_stuff2x(ifft2(F)) (split the big-transform index k = a + H*b; the
+    b-sum is 1 + e^{i*pi*m} = 2*[m even]) — one (H, W) inverse FFT instead
+    of a (2H, 2W) one and no tiled complex intermediate, bit-identical
+    output (tests/test_ops_basic.py pins it against the literal form)."""
+    comp = mag * jnp.cos(phase) + 1j * mag * jnp.sin(phase)
+    return zero_stuff2x(jnp.abs(jnp.fft.ifftn(comp, axes=(1, 2))))

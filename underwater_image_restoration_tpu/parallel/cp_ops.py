@@ -107,14 +107,17 @@ def ifftn_real_spatial(x, mesh: Optional[Mesh] = None):
 
 def spectral_tile_upsample(mag, phase, mesh: Optional[Mesh] = None):
     """FFT-upsample core (reference SpectralTransformer.py:174-187): tile
-    magnitude/phase 2x2 in space, polar recombine, ifft2, abs.  The tile of
-    a row-sharded map is a concat of shards (no comm); the inverse FFT goes
-    through the distributed decomposition."""
-    mag2 = jnp.tile(mag, (1, 2, 2, 1))
-    pha2 = jnp.tile(phase, (1, 2, 2, 1))
-    comp = (mag2 * jnp.cos(pha2) + 1j * mag2 * jnp.sin(pha2)).astype(
+    magnitude/phase 2x2 in space, polar recombine, ifft2, abs — computed via
+    the analytic identity ifft2(tile(F,2,2)) == zero_stuff2x(ifft2(F))
+    (see ops.spectral.spectral_tile_upsample), so the distributed inverse
+    FFT runs at (H, W) instead of (2H, 2W).  The even-position stuffing of a
+    row-sharded map stays shard-local (each shard's 2x rows come from its
+    own source rows; GSPMD keeps it comm-free)."""
+    from ..ops.spectral import zero_stuff2x
+
+    comp = (mag * jnp.cos(phase) + 1j * mag * jnp.sin(phase)).astype(
         jnp.complex64)
-    return jnp.abs(ifft2(comp, mesh))
+    return zero_stuff2x(jnp.abs(ifft2(comp, mesh)))
 
 
 def cp_attention_viable(batch: int, n_win_h: int,
