@@ -24,10 +24,7 @@ from __future__ import annotations
 
 import json
 import os
-import time
 
-import jax
-import jax.numpy as jnp
 
 SIZE = 256
 WARMUP = 3
@@ -54,48 +51,12 @@ ZOO = [
 
 def _run(arch: str, size: int, batch: int, *, windows: int = 3,
          steps: int = STEPS, **model_kw) -> float:
-    from underwater_image_restoration_tpu.data import synthetic_pair_batch
-    from underwater_image_restoration_tpu.losses import LossFunction
-    from underwater_image_restoration_tpu.models import init_model
-    from underwater_image_restoration_tpu.train import (
-        TrainState, get_optimizer, make_train_step,
+    from underwater_image_restoration_tpu.train.benchlib import (
+        time_train_step,
     )
 
-    model = init_model(arch, dtype=jnp.bfloat16, remat=True,
-                       img_size=size, **model_kw)
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32)
-    )
-    tx = get_optimizer("adam", 3e-4)
-    state = TrainState(params=params, opt_state=tx.init(params),
-                       step=jnp.zeros((), jnp.int32))
-    step = make_train_step(model, LossFunction("L1withColor"), tx)
-
-    # pre-staged device batches: measures the device compute path (the host
-    # pipeline prefetches in parallel during real training)
-    batches = []
-    for i in range(4):
-        raw, ref = synthetic_pair_batch(batch, size, seed=i)
-        batches.append((jax.device_put(jnp.asarray(raw)),
-                        jax.device_put(jnp.asarray(ref))))
-    rng = jax.random.PRNGKey(1)
-
-    for i in range(WARMUP):
-        raw, ref = batches[i % len(batches)]
-        state, m = step(state, raw, ref, rng)
-    jax.block_until_ready(m["loss"])
-
-    # best of N windows: the shared chip has transient contention, and the
-    # fastest window is the least-contended estimate of our own speed
-    best = 0.0
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for i in range(steps):
-            raw, ref = batches[i % len(batches)]
-            state, m = step(state, raw, ref, rng)
-        jax.block_until_ready(m["loss"])
-        best = max(best, batch * steps / (time.perf_counter() - t0))
-    return best
+    return time_train_step(arch, size, batch, steps=steps, windows=windows,
+                           warmup=WARMUP, n_batches=4, **model_kw)
 
 
 def _run_ladder(arch: str, size: int, ladder, *, windows: int,

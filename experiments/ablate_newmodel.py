@@ -21,46 +21,18 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def time_step(arch, size, batch, use_dwt, steps, windows=3):
-    import jax
-    import jax.numpy as jnp
-
-    from underwater_image_restoration_tpu.data import synthetic_pair_batch
-    from underwater_image_restoration_tpu.losses import LossFunction
-    from underwater_image_restoration_tpu.models import init_model
-    from underwater_image_restoration_tpu.train import (
-        TrainState, get_optimizer, make_train_step,
+    from underwater_image_restoration_tpu.train.benchlib import (
+        time_train_step,
     )
 
     kw = {"use_dwt": use_dwt} if arch.startswith("New") else {}
-    model = init_model(arch, dtype=jnp.bfloat16, remat=True, img_size=size,
-                      **kw)
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32))
-    tx = get_optimizer("adam", 3e-4)
-    state = TrainState(params=params, opt_state=tx.init(params),
-                       step=jnp.zeros((), jnp.int32))
-    step = make_train_step(model, LossFunction("L1withColor"), tx)
-    raw, ref = synthetic_pair_batch(batch, size, seed=0)
-    raw_d = jax.device_put(jnp.asarray(raw))
-    ref_d = jax.device_put(jnp.asarray(ref))
-    rng = jax.random.PRNGKey(1)
-    for _ in range(3):
-        state, m = step(state, raw_d, ref_d, rng)
-    jax.block_until_ready(m["loss"])
-    best = 0.0
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, m = step(state, raw_d, ref_d, rng)
-        jax.block_until_ready(m["loss"])
-        best = max(best, batch * steps / (time.perf_counter() - t0))
-    return best
+    return time_train_step(arch, size, batch, steps=steps, windows=windows,
+                           **kw)
 
 
 def main():

@@ -15,45 +15,15 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def time_spectral(batch, steps=20, windows=3, **model_kw):
-    import jax
-    import jax.numpy as jnp
+    from underwater_image_restoration_tpu.train.benchlib import TrainStepBench
 
-    from underwater_image_restoration_tpu.data import synthetic_pair_batch
-    from underwater_image_restoration_tpu.losses import LossFunction
-    from underwater_image_restoration_tpu.models import init_model
-    from underwater_image_restoration_tpu.train import (
-        TrainState, get_optimizer, make_train_step,
-    )
-
-    model = init_model("SpectralTransformer", dtype=jnp.bfloat16, remat=True,
-                       **model_kw)
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32))
-    tx = get_optimizer("adam", 3e-4)
-    state = TrainState(params=params, opt_state=tx.init(params),
-                       step=jnp.zeros((), jnp.int32))
-    step = make_train_step(model, LossFunction("L1withColor"), tx)
-    raw, ref = synthetic_pair_batch(batch, 256, seed=0)
-    raw_d, ref_d = jax.device_put(jnp.asarray(raw)), jax.device_put(
-        jnp.asarray(ref))
-    rng = jax.random.PRNGKey(1)
-    for _ in range(3):
-        state, m = step(state, raw_d, ref_d, rng)
-    jax.block_until_ready(m["loss"])
-    best_dt = float("inf")
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, m = step(state, raw_d, ref_d, rng)
-        jax.block_until_ready(m["loss"])
-        best_dt = min(best_dt, (time.perf_counter() - t0) / steps)
-    return best_dt * 1e3  # ms/step
+    bench = TrainStepBench("SpectralTransformer", 256, batch, **model_kw)
+    return bench.best_ms_per_step(steps=steps, windows=windows)
 
 
 def main():

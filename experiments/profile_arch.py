@@ -17,7 +17,6 @@ import glob
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,47 +24,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run(arch: str, size: int, batch: int, use_dwt: str, steps: int,
         out: str, remat: bool = True):
     import jax
-    import jax.numpy as jnp
 
-    from underwater_image_restoration_tpu.data import synthetic_pair_batch
-    from underwater_image_restoration_tpu.losses import LossFunction
-    from underwater_image_restoration_tpu.models import init_model
-    from underwater_image_restoration_tpu.train import (
-        TrainState, get_optimizer, make_train_step,
-    )
+    from underwater_image_restoration_tpu.train.benchlib import TrainStepBench
 
     kw = {}
     if arch.startswith("New"):
         kw["use_dwt"] = use_dwt
-    model = init_model(arch, dtype=jnp.bfloat16, remat=remat,
-                       img_size=size, **kw)
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32))
-    tx = get_optimizer("adam", 3e-4)
-    state = TrainState(params=params, opt_state=tx.init(params),
-                       step=jnp.zeros((), jnp.int32))
-    step = make_train_step(model, LossFunction("L1withColor"), tx)
-    raw, ref = synthetic_pair_batch(batch, size, seed=0)
-    raw_d, ref_d = jax.device_put(jnp.asarray(raw)), jax.device_put(
-        jnp.asarray(ref))
-    rng = jax.random.PRNGKey(1)
+    bench = TrainStepBench(arch, size, batch, remat=remat, **kw)
 
-    for _ in range(3):
-        state, m = step(state, raw_d, ref_d, rng)
-    jax.block_until_ready(m["loss"])
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, m = step(state, raw_d, ref_d, rng)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
-    print(f"throughput: {batch * steps / dt:.1f} img/s "
-          f"({dt / steps * 1e3:.2f} ms/step)")
+    thr = bench.best_throughput(steps=steps, windows=1)
+    print(f"throughput: {thr:.1f} img/s ({batch / thr * 1e3:.2f} ms/step)")
 
     with jax.profiler.trace(out):
-        for _ in range(steps):
-            state, m = step(state, raw_d, ref_d, rng)
-        jax.block_until_ready(m["loss"])
+        jax.block_until_ready(bench.run(steps)["loss"])
     print(f"trace -> {out}")
     return out
 

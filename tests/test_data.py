@@ -111,10 +111,13 @@ def test_loader_resume_mid_epoch(uieb_dirs):
     del it
     ld2 = mk()
     ld2.load_state_dict(state)
-    rest = [b.raw.copy() for b in ld2]
+    rest = [b for b in ld2]
     assert len(rest) == 2
-    np.testing.assert_array_equal(rest[0], full[1])
-    np.testing.assert_array_equal(rest[1], full[2])
+    np.testing.assert_array_equal(rest[0].raw, full[1])
+    np.testing.assert_array_equal(rest[1].raw, full[2])
+    # Batch.index reports the TRUE intra-epoch position after the resume
+    # (enumerate() restarts at 0; the trainer's global step relies on this)
+    assert [b.index for b in rest] == [1, 2]
 
 
 def test_get_dataloaders_parity(uieb_dirs):

@@ -99,6 +99,53 @@ def test_train_step_reduces_loss(tiny_setup):
     assert int(state.step) == 5
 
 
+def test_grad_accum_matches_full_batch(tiny_setup):
+    """grad_accum=2 (lax.scan microbatches) must produce the same optimizer
+    update as the full-batch step.  The fixture's L1 is B*C-divided
+    (reference losses.py:57) — its microbatch losses are inflated by the
+    smaller divisor, so this also pins the extra 1/grad_accum rescale."""
+    model, lossfn, params, raw, ref = tiny_setup
+
+    def run(accum):
+        # SGD: the param delta is linear in the grad, so the tolerance
+        # measures the real accumulated-vs-full-batch numerics (Adam's
+        # g/sqrt(v) at step 1 is sign(g) — f32 reduction-order noise on
+        # near-zero grads flips lone elements by ~lr)
+        tx = get_optimizer("sgd", 1e-3, momentum=0.0, clip_norm=0.0)
+        st = TrainState(params=jax.tree.map(jnp.copy, params),
+                        opt_state=tx.init(params),
+                        step=jnp.zeros((), jnp.int32))
+        step = make_train_step(model, lossfn, tx, grad_accum=accum)
+        losses = []
+        for _ in range(3):
+            st, m = step(st, jnp.asarray(raw), jnp.asarray(ref),
+                         jax.random.PRNGKey(0))
+            losses.append(float(m["loss"]))
+        return st, losses
+
+    st1, l1 = run(1)
+    st2, l2 = run(2)
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                         atol=1e-6),
+                 jax.device_get(st1.params), jax.device_get(st2.params))
+    # indivisible batch is rejected at trace time
+    tx = get_optimizer("adam", 1e-3)
+    st = TrainState(params=jax.tree.map(jnp.copy, params),
+                    opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+    bad = make_train_step(model, lossfn, tx, grad_accum=3)
+    with pytest.raises(ValueError, match="divisible"):
+        bad(st, jnp.asarray(raw), jnp.asarray(ref), jax.random.PRNGKey(0))
+
+
+def test_grad_accum_cli_flag():
+    from underwater_image_restoration_tpu.cli.args import argument_parser
+    from underwater_image_restoration_tpu.core.config import from_namespace
+
+    ns = argument_parser().parse_args(["--grad-accum", "4"])
+    assert from_namespace(ns).grad_accum == 4
+
+
 def test_train_step_sharded_matches_single(tiny_setup):
     """DP over a 2-device mesh must produce the same update as 1 device."""
     model, lossfn, params, raw, ref = tiny_setup
@@ -190,6 +237,51 @@ def test_eval_step_masks_padding(tiny_setup):
     r0 = jax.device_get(ev(params, jnp.asarray(raw0), jnp.asarray(ref0),
                            jnp.asarray(valid_all)))
     assert r0["psnr_sum"] / 2 == pytest.approx(r1["psnr_sum"], rel=1e-4)
+    # the loss is masked per-sample too (padding rows can't bias
+    # avg_val_loss / best-checkpoint selection).  L1 is B*C-divided
+    # (reference losses.py:57): its loss scales as 1/B, so a batch of
+    # [s0, s0] and a 1-valid batch of [s0, pad] both reduce to loss(s0)
+    # under the reference's true-batch-size normalization — loss_sum (and
+    # not loss_sum/2) must match.
+    assert r0["loss_sum"] == pytest.approx(r1["loss_sum"], rel=1e-4)
+    # and with every row valid, loss_sum/n equals the plain batch loss
+    # exactly as the reference's unpadded validation loop would compute it
+    from underwater_image_restoration_tpu.train.trainer import normalize_u8
+    batch_loss = float(lossfn(
+        model.apply(params, normalize_u8(raw)).astype(jnp.float32),
+        normalize_u8(ref)))
+    assert r2["loss_sum"] / 2 == pytest.approx(batch_loss, rel=1e-4)
+
+
+def test_eval_step_loss_branches(tiny_setup):
+    """Masked validation loss: the batch-mean branch is linear per sample;
+    the Adaptive* branch (batch-coupled softmax weights) keeps the
+    full-batch loss weighted by the valid count."""
+    model, _, params, raw, ref = tiny_setup
+    from underwater_image_restoration_tpu.train.trainer import normalize_u8
+
+    out = model.apply(params, normalize_u8(raw)).astype(jnp.float32)
+    y = normalize_u8(ref)
+
+    lfc = LossFunction("charbonnier")  # plain batch mean
+    ev = make_eval_step(model, lfc)
+    r2 = jax.device_get(ev(params, jnp.asarray(raw), jnp.asarray(ref),
+                           jnp.asarray(np.array([True, True]))))
+    r1 = jax.device_get(ev(params, jnp.asarray(raw), jnp.asarray(ref),
+                           jnp.asarray(np.array([True, False]))))
+    assert r2["loss_sum"] / 2 == pytest.approx(float(lfc(out, y)), rel=1e-4)
+    assert r1["loss_sum"] == pytest.approx(float(lfc(out[:1], y[:1])),
+                                           rel=1e-4)
+
+    lfa = LossFunction("AdaptiveLuminanceCharbonnier")
+    eva = make_eval_step(model, lfa)
+    ra = jax.device_get(eva(params, jnp.asarray(raw), jnp.asarray(ref),
+                            jnp.asarray(np.array([True, True]))))
+    assert ra["loss_sum"] / 2 == pytest.approx(float(lfa(out, y)), rel=1e-4)
+    # grad accumulation is rejected for the batch-coupled Adaptive pair
+    tx = get_optimizer("adam", 1e-3)
+    with pytest.raises(ValueError, match="Adaptive|adaptive"):
+        make_train_step(model, lfa, tx, grad_accum=2)
 
 
 def test_checkpoint_roundtrip(tmp_path, tiny_setup):

@@ -161,6 +161,14 @@ def argument_parser() -> argparse.ArgumentParser:
                              "cache: decode+resize happens once, later "
                              "epochs stream zero-copy (the reference "
                              "re-decodes every epoch)")
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="gradient-accumulation microbatches per "
+                             "optimizer step (train-batch-size must divide "
+                             "evenly); accumulated inside the jitted step "
+                             "via lax.scan with per-loss-family scaling, so "
+                             "the optimizer sees exactly the full-batch "
+                             "gradient while only one microbatch's "
+                             "activations are live")
     parser.add_argument("--watch-freq", type=int, default=100,
                         help="parameter/gradient histogram logging cadence "
                              "in steps (reference wandb.watch log_freq=100, "

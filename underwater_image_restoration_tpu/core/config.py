@@ -90,6 +90,12 @@ class Config:
     #                               (reference wandb.watch log_freq=100,
     #                               wandb_logger.py:27); 0 disables
     allow_placeholder_vgg: bool = False  # opt into random VGG trunk (tests/bench only)
+    grad_accum: int = 1           # microbatches per optimizer step: the jitted
+    #                               step scans train_batch_size/grad_accum-sized
+    #                               microbatches, accumulating gradients with
+    #                               per-loss-family scaling (== the full-batch
+    #                               gradient) — trains effective batches beyond
+    #                               what one forward's activations fit in HBM
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

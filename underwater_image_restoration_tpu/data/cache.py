@@ -26,7 +26,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .uieb import UIEBDataset, decode_image
+from .uieb import UIEBDataset
 
 
 def _listing_key(ds: UIEBDataset) -> dict:
@@ -82,9 +82,10 @@ class CachedUIEBDataset:
         return len(self.dataset)
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        # np.asarray slices copy out of the memmap — the loader's batches
-        # must own their memory (they get stacked/augmented downstream)
-        return np.asarray(self._raw[idx]), np.asarray(self._ref[idx])
+        # Items must OWN their memory: a memmap slice (np.asarray is a
+        # zero-copy view of the read-only mmap) would make any in-place
+        # consumer fail or, worse, alias the cache file.
+        return self._raw[idx].copy(), self._ref[idx].copy()
 
 
 def maybe_cached(dataset: UIEBDataset,

@@ -33,6 +33,9 @@ class Batch:
     raw: np.ndarray    # (B,H,W,3) uint8
     ref: np.ndarray    # (B,H,W,3) uint8
     valid: np.ndarray  # (B,) bool — False for padding rows of a short batch
+    index: int = 0     # true batch index within the epoch (survives a
+                       # mid-epoch resume, where iteration starts at
+                       # _start_batch and enumerate() would restart at 0)
 
     @property
     def num_valid(self) -> int:
@@ -102,7 +105,7 @@ class PairedLoader:
             # counter-based rng: deterministic per (seed, epoch, batch index)
             arng = np.random.default_rng((self.seed, epoch, bi))
             raw, ref = augment_pair_batch(raw, ref, arng, self.augment)
-        return Batch(raw=raw, ref=ref, valid=valid)
+        return Batch(raw=raw, ref=ref, valid=valid, index=bi)
 
     def __iter__(self) -> Iterator[Batch]:
         epoch = self.epoch

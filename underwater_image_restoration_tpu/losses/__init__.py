@@ -88,6 +88,19 @@ class LossFunction:
         self._vgg = vgg_weights
         # returns_components mirrors the reference's fflMix 6-tuple contract
         self.returns_components = loss_name == "fflMix"
+        # How the loss scales with the batch dimension (consumers: gradient
+        # accumulation and the masked per-sample validation loss):
+        #   bc_divided   — the reference divides these by B*C
+        #                  (losses.py:57,65,78), so the value is NOT a batch
+        #                  mean: evaluating on half the batch DOUBLES it.
+        #   batch_linear — batch loss == mean of single-sample losses.  True
+        #                  for every other name except the Adaptive* pair,
+        #                  whose softmax weights couple the whole batch
+        #                  (losses.py:126-136).
+        self.bc_divided = loss_name in ("L1", "L1withColor", "L1ColorLum",
+                                        "L2")
+        self.batch_linear = not (self.bc_divided
+                                 or loss_name.startswith("Adaptive"))
 
     # -- primitive shims ---------------------------------------------------
     def _perc(self, p, t):

@@ -1,0 +1,94 @@
+"""Shared train-step timing harness.
+
+One canonical implementation of the init-model -> TrainState -> warmup ->
+best-of-N-windows loop used by ``bench.py`` and every ``experiments/``
+script, so the timing methodology (pre-staged device batches, async
+dispatch with a single ``block_until_ready`` per window, best-window
+selection against the shared chip's transient contention) lives in exactly
+one place.
+
+The workload is the fully fused jitted train step the trainer runs: uint8
+normalize + forward + loss + grad + global-norm clip + adam, bf16 compute /
+f32 params, per-block remat (reference hot loop: ModelTrainer.py:71-88).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class TrainStepBench:
+    """Builds a jitted train step for ``arch`` and times it.
+
+    ``n_batches`` pre-staged device batches are rotated during timing —
+    measuring the device compute path only (the host pipeline prefetches in
+    parallel during real training).
+    """
+
+    def __init__(self, arch: str, size: int, batch: int, *,
+                 lossf: str = "L1withColor", lr: float = 3e-4,
+                 remat: bool = True, dtype=jnp.bfloat16,
+                 n_batches: int = 1, **model_kw):
+        from underwater_image_restoration_tpu.data import synthetic_pair_batch
+        from underwater_image_restoration_tpu.losses import LossFunction
+        from underwater_image_restoration_tpu.models import init_model
+        from underwater_image_restoration_tpu.train import (
+            TrainState, get_optimizer, make_train_step,
+        )
+
+        self.batch = batch
+        model = init_model(arch, dtype=dtype, remat=remat, img_size=size,
+                           **model_kw)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3),
+                                             jnp.float32))
+        tx = get_optimizer("adam", lr)
+        self.state = TrainState(params=params, opt_state=tx.init(params),
+                                step=jnp.zeros((), jnp.int32))
+        self.step = make_train_step(model, LossFunction(lossf), tx)
+        self.batches = []
+        for i in range(max(1, n_batches)):
+            raw, ref = synthetic_pair_batch(batch, size, seed=i)
+            self.batches.append((jax.device_put(jnp.asarray(raw)),
+                                 jax.device_put(jnp.asarray(ref))))
+        self.rng = jax.random.PRNGKey(1)
+
+    def run(self, steps: int):
+        """Dispatch ``steps`` train steps (async); returns last metrics."""
+        m = None
+        for i in range(steps):
+            raw, ref = self.batches[i % len(self.batches)]
+            self.state, m = self.step(self.state, raw, ref, self.rng)
+        return m
+
+    def best_throughput(self, *, steps: int = 20, windows: int = 3,
+                        warmup: int = 3) -> float:
+        """Best-of-``windows`` images/sec: the fastest window is the
+        least-contended estimate of our own speed on the shared chip."""
+        jax.block_until_ready(self.run(warmup)["loss"])
+        best = 0.0
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            m = self.run(steps)
+            jax.block_until_ready(m["loss"])
+            best = max(best, self.batch * steps / (time.perf_counter() - t0))
+        return best
+
+    def best_ms_per_step(self, *, steps: int = 20, windows: int = 3,
+                         warmup: int = 3) -> float:
+        return self.batch * 1e3 / self.best_throughput(
+            steps=steps, windows=windows, warmup=warmup)
+
+
+def time_train_step(arch: str, size: int, batch: int, *,
+                    steps: int = 20, windows: int = 3, warmup: int = 3,
+                    n_batches: int = 1, lossf: str = "L1withColor",
+                    remat: bool = True, dtype=jnp.bfloat16,
+                    **model_kw) -> float:
+    """One-call wrapper: best-of-windows train-step throughput (img/s)."""
+    bench = TrainStepBench(arch, size, batch, lossf=lossf, remat=remat,
+                           dtype=dtype, n_batches=n_batches, **model_kw)
+    return bench.best_throughput(steps=steps, windows=windows, warmup=warmup)

@@ -78,12 +78,31 @@ def make_train_step(
     mesh=None,
     remat: bool = False,
     state_shardings=None,
+    grad_accum: int = 1,
 ):
     """Returns jitted (state, raw_u8, ref_u8, rng) -> (state, metrics).
 
     state_shardings: optional TrainState pytree of NamedShardings for
     FSDP/TP-sharded parameters+optimizer state (parallel/tensor.py);
-    defaults to fully replicated."""
+    defaults to fully replicated.
+
+    grad_accum: when > 1, the batch is split into ``grad_accum``
+    microbatches scanned with ``lax.scan``, accumulating gradients before
+    the single optimizer update — keeping only one microbatch's activations
+    live (trains effective batches beyond the per-forward HBM fit).  The
+    accumulation is scaled so the result EQUALS the full-batch step: plain
+    mean losses average the microbatch grads, while the B*C-divided family
+    (``lossfn.bc_divided`` — reference losses.py:57,65,78 divides by the
+    batch dim, so a microbatch loss is ``grad_accum``× the full-batch one)
+    gets an extra 1/grad_accum.  The Adaptive* pair couples the whole batch
+    through softmax weights and cannot be accumulated exactly — rejected at
+    construction."""
+    if grad_accum > 1 and not (lossfn.batch_linear or lossfn.bc_divided):
+        raise ValueError(
+            f"grad_accum={grad_accum} is not exact for loss "
+            f"'{lossfn.loss_name}': its adaptive softmax weights couple the "
+            "whole batch (reference losses.py:126-136), so microbatch "
+            "accumulation changes the loss. Use grad_accum=1.")
     apply_fn = model.apply
     if remat:
         apply_fn = jax.checkpoint(
@@ -107,12 +126,52 @@ def make_train_step(
             loss, comps = res, {}
         return loss, comps
 
+    def batch_grads(params, x, y, rng):
+        """(loss, comps, grads) equal to the full-batch evaluation —
+        scanning microbatches when grad_accum > 1.  Microbatch values are
+        averaged, with an extra 1/grad_accum for the B*C-divided losses
+        (their divisor shrinks with the microbatch, inflating each term by
+        grad_accum; see make_train_step docstring)."""
+        if grad_accum <= 1:
+            (loss, comps), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, x, y, rng)
+            return loss, comps, grads
+
+        b = x.shape[0]
+        if b % grad_accum:
+            raise ValueError(
+                f"train batch {b} not divisible by grad_accum={grad_accum}")
+        mb = b // grad_accum
+        xs = x.reshape(grad_accum, mb, *x.shape[1:])
+        ys = y.reshape(grad_accum, mb, *y.shape[1:])
+
+        def micro(carry, inp):
+            loss_a, comps_a, grads_a, i = carry
+            xi, yi = inp
+            (li, ci), gi = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, xi, yi, jax.random.fold_in(rng, i))
+            return (loss_a + li,
+                    jax.tree.map(jnp.add, comps_a, ci),
+                    jax.tree.map(jnp.add, grads_a, gi),
+                    i + 1), None
+
+        _, zero_c = jax.eval_shape(loss_fn, params, xs[0], ys[0], rng)
+        comps0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), zero_c)
+        grads0 = jax.tree.map(jnp.zeros_like, params)
+        (loss_s, comps_s, grads_s, _), _ = jax.lax.scan(
+            micro, (jnp.zeros((), jnp.float32), comps0, grads0,
+                    jnp.zeros((), jnp.int32)), (xs, ys))
+        inv = 1.0 / grad_accum
+        if lossfn.bc_divided:
+            inv = inv / grad_accum
+        return (loss_s * inv,
+                jax.tree.map(lambda v: v * inv, comps_s),
+                jax.tree.map(lambda g: g * inv, grads_s))
+
     def step(state: TrainState, raw_u8, ref_u8, rng):
         x, y = normalize_u8(raw_u8), normalize_u8(ref_u8)
         rng = jax.random.fold_in(rng, state.step)
-        (loss, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, x, y, rng
-        )
+        loss, comps, grads = batch_grads(state.params, x, y, rng)
         gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -172,22 +231,44 @@ def make_watch_step(model, lossfn: LossFunction, bins: int = WATCH_BINS):
 
 def make_eval_step(model, lossfn: LossFunction, mesh=None):
     """(params, raw_u8, ref_u8, valid) ->
-    {loss, psnr_sum, ssim_sum, n} — PSNR/SSIM are per-sample and masked by
-    ``valid`` (padded rows of the final short batch don't count)."""
+    {loss_sum, psnr_sum, ssim_sum, n} — all sums masked by ``valid``, so
+    the row-repeated padding of the final short batch contributes nothing
+    (it would otherwise bias avg_val_loss, which drives best-checkpoint
+    selection).
+
+    ``loss_sum`` is normalized so that ``loss_sum / n`` reproduces what the
+    reference's validation loop would compute on the unpadded batch
+    (ModelTrainer.py:132-158): per-sample losses are summed for the
+    batch-mean losses, and additionally divided by the valid count for the
+    B*C-divided family (reference losses.py:57,65,78 — their divisor is the
+    TRUE batch size, so the value scales as 1/B).  The Adaptive* pair's
+    softmax weights couple the whole batch and have no per-sample
+    decomposition; for them the full-batch loss (padding included) is kept,
+    matching the reference everywhere except the final short batch."""
 
     def step(params, raw_u8, ref_u8, valid):
         x, y = normalize_u8(raw_u8), normalize_u8(ref_u8)
         out = model.apply(params, x).astype(jnp.float32)
-        res = lossfn(out, y)
-        loss = res[0] if lossfn.returns_components else res
+
+        def sample_loss(o, t):
+            res = lossfn(o[None], t[None])
+            return res[0] if lossfn.returns_components else res
+
         v = valid.astype(jnp.float32)
+        n = jnp.sum(v)
+        if lossfn.batch_linear or lossfn.bc_divided:
+            masked = jnp.sum(jax.vmap(sample_loss)(out, y) * v)
+            loss_sum = masked / n if lossfn.bc_divided else masked
+        else:  # Adaptive*: batch-coupled weights, no exact masking
+            res = lossfn(out, y)
+            loss_sum = (res[0] if lossfn.returns_components else res) * n
         psnr = per_sample_psnr(y, out)
         ssim = per_sample_ssim(y, out)
         return {
-            "loss": loss,
+            "loss_sum": loss_sum,
             "psnr_sum": jnp.sum(psnr * v),
             "ssim_sum": jnp.sum(ssim * v),
-            "n": jnp.sum(v),
+            "n": n,
         }
 
     if mesh is None:
@@ -250,6 +331,11 @@ class ModelTrainer:
             raise ValueError(
                 f"image_size={cfg.image_size} not divisible by "
                 f"context-parallel size {n_ctx}")
+        if cfg.grad_accum > 1 and cfg.train_batch_size % (
+                cfg.grad_accum * n_data):
+            raise ValueError(
+                f"train_batch_size={cfg.train_batch_size} not divisible by "
+                f"grad_accum*data-parallel = {cfg.grad_accum}*{n_data}")
         model = init_model(arch, use_dwt=cfg.use_dwt, dtype=_compute_dtype(cfg),
                            remat=cfg.remat, img_size=cfg.image_size,
                            mesh=mesh if n_ctx > 1 else None)
@@ -324,7 +410,8 @@ class ModelTrainer:
         # remat is handled per-block inside the models (init_model above);
         # make_train_step's coarse remat stays available for custom models
         train_step = make_train_step(model, lossfn, tx, mesh=mesh,
-                                     state_shardings=state_sh)
+                                     state_shardings=state_sh,
+                                     grad_accum=cfg.grad_accum)
         first_step_done = False
 
         def run_step(st, raw_d, ref_d, rng_d):
@@ -347,7 +434,8 @@ class ModelTrainer:
                       f"({type(e).__name__}); retrying with UIRT_NO_PALLAS=1")
                 os.environ["UIRT_NO_PALLAS"] = "1"
                 train_step = make_train_step(model, lossfn, tx, mesh=mesh,
-                                             state_shardings=state_sh)
+                                             state_shardings=state_sh,
+                                             grad_accum=cfg.grad_accum)
                 st = jax.device_put(st_host, state_sh)
                 out = train_step(st, raw_d, ref_d, rng_d)
             first_step_done = True
@@ -371,29 +459,35 @@ class ModelTrainer:
                     step=state.step,
                 )
                 state = jax.device_put(state, state_sh)
-                epoch_metrics = []
+                epoch_metrics = []  # (true batch index, device metrics)
+                hist_pending = []   # (true batch index, device histograms)
                 t0 = time.time()
                 train_loader.epoch = epoch
-                for bi, batch in enumerate(train_loader):
+                for batch in train_loader:
+                    bi = batch.index  # true index (enumerate restarts at 0
+                    #                   after a mid-epoch resume)
                     timer.start()
                     raw_d, ref_d = put(batch.raw), put(batch.ref)
                     state, m = run_step(state, raw_d, ref_d, step_rng)
-                    epoch_metrics.append(m)
-                    gstep = epoch * nb + bi
-                    if watch_step is not None and gstep % watch_freq == 0:
-                        explog.log_histograms(
-                            jax.device_get(watch_step(
-                                state.params, raw_d, ref_d,
-                                jax.random.fold_in(step_rng, state.step))),
-                            step=gstep)
+                    epoch_metrics.append((bi, m))
+                    if (watch_step is not None
+                            and (epoch * nb + bi) % watch_freq == 0):
+                        hist_pending.append((bi, watch_step(
+                            state.params, raw_d, ref_d,
+                            jax.random.fold_in(step_rng, state.step))))
                     if (bi + 1) % max(1, cfg.print_freq) == 0:
                         lv, gn = float(m["loss"]), float(m["grad_norm"])
                         print(f"Batch {bi + 1}/{nb}, Loss: {lv:.6f}, "
                               f"Norm: {gn:.6f}")
                     timer.stop()
-                # fetch the epoch's device scalars once
+                # fetch the epoch's device scalars once, then emit all sink
+                # records in ascending-step order (W&B silently drops any
+                # log whose step is below the run's max step, so histograms
+                # must interleave with the per-batch metrics, not precede
+                # them)
                 host_metrics = jax.device_get(epoch_metrics)
-                for bi, m in enumerate(host_metrics):
+                host_hists = dict(jax.device_get(hist_pending))
+                for bi, m in host_metrics:
                     explog.log_train_metrics(
                         explog.format_train_metrics(
                             float(m["loss"]), schedule(epoch)),
@@ -404,8 +498,11 @@ class ModelTrainer:
                             explog.log_train_metrics(
                                 explog.format_loss_metrics(float(m[comp]), comp),
                                 epoch, bi, nb)
+                    if bi in host_hists:
+                        explog.log_histograms(host_hists[bi],
+                                              step=epoch * nb + bi)
                 avg_epoch_loss = float(
-                    np.mean([m["loss"] for m in host_metrics])
+                    np.mean([m["loss"] for _, m in host_metrics])
                 ) if host_metrics else float("nan")
                 epoch_time = time.time() - t0
                 imgs_per_sec = len(host_metrics) * cfg.train_batch_size / max(
@@ -418,19 +515,18 @@ class ModelTrainer:
                      "train/epoch_loss": avg_epoch_loss}, epoch)
 
                 # -- validation (reference ModelTrainer.py:132-158) ---------
-                # The batch loss is weighted by its valid count so the padded
-                # (row-repeated) final short batch can't bias avg_val_loss —
+                # All eval sums are masked per-sample inside eval_step, so
+                # the padded final short batch can't bias avg_val_loss —
                 # which drives best-checkpoint selection.
-                val = {"loss": 0.0, "psnr_sum": 0.0, "ssim_sum": 0.0, "n": 0.0}
+                val = {"loss_sum": 0.0, "psnr_sum": 0.0, "ssim_sum": 0.0,
+                       "n": 0.0}
                 for batch in test_loader:
                     r = jax.device_get(eval_step(
                         state.params, put(batch.raw), put(batch.ref),
                         put(batch.valid)))
-                    nv = batch.num_valid
-                    val["loss"] += float(r["loss"]) * nv
-                    for k in ("psnr_sum", "ssim_sum", "n"):
+                    for k in val:
                         val[k] += float(r[k])
-                avg_val_loss = val["loss"] / max(1.0, val["n"])
+                avg_val_loss = val["loss_sum"] / max(1.0, val["n"])
                 avg_psnr = val["psnr_sum"] / max(1.0, val["n"])
                 avg_ssim = val["ssim_sum"] / max(1.0, val["n"])
                 print(f"Validation Loss: {avg_val_loss:.6f}")
