@@ -4,9 +4,11 @@
 Workload = the README's canonical config (README.md:121): SpectralTransformer,
 L1withColor loss, 256^2 pairs — one fully fused jitted train step (uint8
 normalize + forward + loss + grad + global-norm clip + adam) in bf16 compute /
-f32 params, per-block remat (blocks AND the FFT UpS modules), batch 64
-(the single-chip HBM sweet spot: 8/no-remat -> 1.2k img/s, 32/remat ->
-~8.8k, 64/remat+UpS-remat -> ~13.9k img/s), single chip.
+f32 params, per-block remat (blocks AND the FFT UpS modules), batch 64,
+K=32 optimizer steps per dispatch (lax.scan; identical training semantics —
+the fixed ~5 ms host round-trip through the remote TPU tunnel otherwise
+bounds throughput at ~200 dispatches/s: bs64 flat ~12-14k img/s vs ~340k
+at K=32), single chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus
 "archs" with per-arch throughput for the rest of the model zoo and
@@ -35,47 +37,56 @@ A100_PYTORCH_EST_IMG_PER_SEC = 40.0  # see module docstring
 # single-chip HBM sweet spot; fewer timing windows to bound bench runtime.
 # NewBigModel@512's Pallas graph OOMs the remote compile host, so it runs
 # with the XLA attention path (UIRT_NO_PALLAS).
+#
+# Every entry uses --steps-per-dispatch-style K-step scanning
+# (trainer.make_train_step k_steps): the tunneled chip's fixed ~5 ms
+# per-dispatch host round-trip otherwise caps training at ~200 optimizer
+# steps/s regardless of batch size (PERF_NOTES.md round-2); K full
+# optimizer steps per dispatch amortize it with identical training
+# semantics.  Ladders fall back to smaller (batch, K) on OOM.
 ZOO = [
-    # (label, arch, kwargs, size, batch_ladder, windows, no_pallas)
-    # ladders = measured single-chip sweet spots (experiments/
-    # ablate_newmodel.py): NewModel bs16 is ~2x bs8 (4.9k vs 2.6k img/s);
-    # NewBigModel@512 bs4 is ~2.3x bs2 (723 vs 318); larger batches crash
-    # the remote compile helper (bs24/bs32 NewModel, bs64 AST).
-    ("AST@256", "AST", {}, 256, (32, 16, 8), 2, False),
+    # (label, arch, kwargs, size, (batch, k_steps) ladder, windows, no_pallas)
+    ("AST@256", "AST", {}, 256, ((32, 16), (32, 4), (32, 1), (8, 1)), 2,
+     False),
     ("NewModel-Wavelet@256", "NewModel", {"use_dwt": "Wavelet"}, 256,
-     (16, 8, 4), 2, False),
+     ((16, 16), (16, 4), (16, 1), (4, 1)), 2, False),
     ("NewBigModel@512", "NewBigModel", {"use_dwt": "Wavelet"}, 512,
-     (4, 2, 1), 2, True),
+     ((4, 16), (4, 4), (4, 1), (1, 1)), 2, True),
 ]
 
 
 def _run(arch: str, size: int, batch: int, *, windows: int = 3,
-         steps: int = STEPS, **model_kw) -> float:
+         steps: int = STEPS, k_steps: int = 1, **model_kw) -> float:
     from underwater_image_restoration_tpu.train.benchlib import (
         time_train_step,
     )
 
-    return time_train_step(arch, size, batch, steps=steps, windows=windows,
-                           warmup=WARMUP, n_batches=4, **model_kw)
+    # keep ~constant images per timing window as K grows
+    n_disp = max(2, steps // k_steps)
+    return time_train_step(arch, size, batch, steps=n_disp, windows=windows,
+                           warmup=WARMUP, n_batches=2, k_steps=k_steps,
+                           **model_kw)
 
 
 def _run_ladder(arch: str, size: int, ladder, *, windows: int,
                 steps: int = STEPS, **model_kw):
-    """Try batch sizes largest-first: another tenant's HBM use can OOM the
-    sweet spot, so fall back rather than fail the bench."""
+    """Try (batch, k_steps) cells largest-first: another tenant's HBM use
+    can OOM the sweet spot, so fall back rather than fail the bench."""
     last_err = None
-    for batch in ladder:
+    for cell in ladder:
+        batch, k = cell if isinstance(cell, tuple) else (cell, 1)
         try:
             return _run(arch, size, batch, windows=windows, steps=steps,
-                        **model_kw)
+                        k_steps=k, **model_kw)
         except Exception as e:  # XlaRuntimeError: RESOURCE_EXHAUSTED etc.
             last_err = e
     raise last_err
 
 
 def main():
-    imgs_per_sec = _run_ladder("SpectralTransformer", SIZE, (64, 32, 16, 8),
-                               windows=3)
+    imgs_per_sec = _run_ladder(
+        "SpectralTransformer", SIZE,
+        ((64, 32), (64, 8), (64, 1), (32, 1), (8, 1)), windows=3)
 
     archs = {}
     for label, arch, kw, size, ladder, windows, no_pallas in ZOO:

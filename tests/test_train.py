@@ -138,6 +138,81 @@ def test_grad_accum_matches_full_batch(tiny_setup):
         bad(st, jnp.asarray(raw), jnp.asarray(ref), jax.random.PRNGKey(0))
 
 
+def test_k_steps_matches_sequential(tiny_setup):
+    """K optimizer steps scanned in one dispatch run the same op sequence
+    as K sequential single-step calls with the same epoch rng (the body
+    folds the rng with state.step either way); results match to XLA
+    fusion-level f32 roundoff (the scan body and the standalone step
+    compile to slightly different fusions).  SGD keeps the comparison
+    linear in that roundoff (Adam's step-1 g/sqrt(v) is sign(g), which
+    flips on near-zero grads)."""
+    model, lossfn, params, raw, ref = tiny_setup
+    rng = jax.random.PRNGKey(3)
+    raws, refs = [], []
+    for i in range(4):
+        r1, r2 = synthetic_pair_batch(2, 16, seed=10 + i)
+        raws.append(r1)
+        refs.append(r2)
+
+    def fresh_state(tx):
+        p = jax.tree.map(jnp.copy, params)
+        return TrainState(params=p, opt_state=tx.init(p),
+                          step=jnp.zeros((), jnp.int32))
+
+    tx = get_optimizer("sgd", 1e-3, momentum=0.0, clip_norm=0.0)
+    single = make_train_step(model, lossfn, tx)
+    st_a = fresh_state(tx)
+    seq_losses = []
+    for i in range(4):
+        st_a, m = single(st_a, jnp.asarray(raws[i]), jnp.asarray(refs[i]),
+                         rng)
+        seq_losses.append(float(m["loss"]))
+
+    multi = make_train_step(model, lossfn, tx, k_steps=4)
+    st_b = fresh_state(tx)
+    st_b, ms = multi(st_b, jnp.asarray(np.stack(raws)),
+                     jnp.asarray(np.stack(refs)), rng)
+    np.testing.assert_allclose(np.asarray(ms["loss"]), seq_losses, rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                         atol=1e-6),
+                 jax.device_get(st_a.params), jax.device_get(st_b.params))
+    assert int(st_b.step) == 4
+
+
+def test_trainer_steps_per_dispatch_equals_single(train_dirs, tmp_path):
+    """A 1-epoch run with steps_per_dispatch=2 (3 batches/epoch: one full
+    group + a remainder single step) must reproduce the plain run's
+    per-batch losses and final params."""
+    import json
+
+    def run(k, name):
+        cfg = Config(
+            arch="SpectralTransformer", lossf="L1", lr=1e-3, max_epoch=1,
+            train_batch_size=2, test_batch_size=2, image_size=16,
+            mesh_data=2, use_wandb=False, workers=2, print_freq=100,
+            seed=3, steps_per_dispatch=k, optim="sgd", watch_freq=0,
+            checkpoint_dir=str(tmp_path / name),
+        )
+        tr = ModelTrainer(
+            str(train_dirs / "train" / "a"), str(train_dirs / "train" / "b"),
+            str(train_dirs / "test" / "a"), str(train_dirs / "test" / "b"),
+        )
+        model, state = tr.train(cfg)
+        run_dir = os.path.join(cfg.checkpoint_dir,
+                               os.listdir(cfg.checkpoint_dir)[0])
+        recs = [json.loads(l)
+                for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+        losses = [r["train/loss"] for r in recs if "train/loss" in r]
+        return jax.device_get(state.params), losses
+
+    p1, l1 = run(1, "ck1")
+    p2, l2 = run(2, "ck2")
+    assert len(l1) == 3  # 6 imgs / batch 2
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                         atol=1e-6), p1, p2)
+
+
 def test_grad_accum_cli_flag():
     from underwater_image_restoration_tpu.cli.args import argument_parser
     from underwater_image_restoration_tpu.core.config import from_namespace

@@ -169,6 +169,13 @@ def argument_parser() -> argparse.ArgumentParser:
                              "the optimizer sees exactly the full-batch "
                              "gradient while only one microbatch's "
                              "activations are live")
+    parser.add_argument("--steps-per-dispatch", type=int, default=1,
+                        help="full optimizer steps per device dispatch "
+                             "(lax.scan over K stacked batches inside one "
+                             "jit call).  Training semantics are bit-"
+                             "identical to K sequential steps; this "
+                             "amortizes the fixed per-dispatch host round-"
+                             "trip that otherwise bounds step rate")
     parser.add_argument("--watch-freq", type=int, default=100,
                         help="parameter/gradient histogram logging cadence "
                              "in steps (reference wandb.watch log_freq=100, "

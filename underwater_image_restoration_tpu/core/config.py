@@ -96,6 +96,13 @@ class Config:
     #                               per-loss-family scaling (== the full-batch
     #                               gradient) — trains effective batches beyond
     #                               what one forward's activations fit in HBM
+    steps_per_dispatch: int = 1   # FULL optimizer steps per device dispatch
+    #                               (lax.scan over K stacked batches).  Bit-
+    #                               identical training semantics; amortizes
+    #                               the fixed per-dispatch host round-trip
+    #                               (~5 ms through the remote TPU tunnel,
+    #                               which otherwise caps training at ~200
+    #                               optimizer steps/s regardless of batch)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

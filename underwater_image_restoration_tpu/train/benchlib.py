@@ -31,7 +31,8 @@ class TrainStepBench:
     def __init__(self, arch: str, size: int, batch: int, *,
                  lossf: str = "L1withColor", lr: float = 3e-4,
                  remat: bool = True, dtype=jnp.bfloat16,
-                 n_batches: int = 1, **model_kw):
+                 n_batches: int = 1, grad_accum: int = 1,
+                 k_steps: int = 1, **model_kw):
         from underwater_image_restoration_tpu.data import synthetic_pair_batch
         from underwater_image_restoration_tpu.losses import LossFunction
         from underwater_image_restoration_tpu.models import init_model
@@ -39,7 +40,8 @@ class TrainStepBench:
             TrainState, get_optimizer, make_train_step,
         )
 
-        self.batch = batch
+        self.batch = batch * k_steps  # images consumed per dispatch
+        self.k_steps = k_steps
         model = init_model(arch, dtype=dtype, remat=remat, img_size=size,
                            **model_kw)
         params = jax.jit(model.init)(
@@ -48,10 +50,14 @@ class TrainStepBench:
         tx = get_optimizer("adam", lr)
         self.state = TrainState(params=params, opt_state=tx.init(params),
                                 step=jnp.zeros((), jnp.int32))
-        self.step = make_train_step(model, LossFunction(lossf), tx)
+        self.step = make_train_step(model, LossFunction(lossf), tx,
+                                    grad_accum=grad_accum, k_steps=k_steps)
         self.batches = []
         for i in range(max(1, n_batches)):
-            raw, ref = synthetic_pair_batch(batch, size, seed=i)
+            raw, ref = synthetic_pair_batch(batch * k_steps, size, seed=i)
+            if k_steps > 1:  # stacked (K, B, H, W, 3) for the K-step scan
+                raw = raw.reshape(k_steps, batch, *raw.shape[1:])
+                ref = ref.reshape(k_steps, batch, *ref.shape[1:])
             self.batches.append((jax.device_put(jnp.asarray(raw)),
                                  jax.device_put(jnp.asarray(ref))))
         self.rng = jax.random.PRNGKey(1)
@@ -87,8 +93,11 @@ def time_train_step(arch: str, size: int, batch: int, *,
                     steps: int = 20, windows: int = 3, warmup: int = 3,
                     n_batches: int = 1, lossf: str = "L1withColor",
                     remat: bool = True, dtype=jnp.bfloat16,
+                    grad_accum: int = 1, k_steps: int = 1,
                     **model_kw) -> float:
     """One-call wrapper: best-of-windows train-step throughput (img/s)."""
     bench = TrainStepBench(arch, size, batch, lossf=lossf, remat=remat,
-                           dtype=dtype, n_batches=n_batches, **model_kw)
+                           dtype=dtype, n_batches=n_batches,
+                           grad_accum=grad_accum, k_steps=k_steps,
+                           **model_kw)
     return bench.best_throughput(steps=steps, windows=windows, warmup=warmup)

@@ -79,6 +79,7 @@ def make_train_step(
     remat: bool = False,
     state_shardings=None,
     grad_accum: int = 1,
+    k_steps: int = 1,
 ):
     """Returns jitted (state, raw_u8, ref_u8, rng) -> (state, metrics).
 
@@ -96,7 +97,24 @@ def make_train_step(
     batch dim, so a microbatch loss is ``grad_accum``× the full-batch one)
     gets an extra 1/grad_accum.  The Adaptive* pair couples the whole batch
     through softmax weights and cannot be accumulated exactly — rejected at
-    construction."""
+    construction.
+
+    k_steps: when > 1, the jitted fn takes (state, raw_k, ref_k, rng) with
+    batches stacked along a leading K axis — shape (K, B, H, W, 3) — and
+    runs K FULL optimizer steps in one ``lax.scan`` before returning; the
+    metric values come back stacked (K,).  This changes NOTHING about the
+    training semantics: the per-step rng is folded with ``state.step``
+    inside the body, exactly as K sequential calls with the same epoch rng
+    would do, so the op sequence is identical and results match sequential
+    stepping to XLA fusion-level f32 roundoff (~1e-6 — the scan body and
+    the standalone step compile to slightly different fusions; pinned by
+    test_k_steps_matches_sequential); it
+    exists because each dispatch to the device carries a fixed host
+    round-trip cost that dwarfs the on-chip step time for this workload
+    (measured ~5 ms through the remote-compile tunnel vs <1 ms of compute:
+    flat throughput saturates at ~200 dispatches/s regardless of batch
+    size).  Batching K optimizer steps per dispatch amortizes that latency
+    to 1/K.  Composes with grad_accum (inner scan)."""
     if grad_accum > 1 and not (lossfn.batch_linear or lossfn.bc_divided):
         raise ValueError(
             f"grad_accum={grad_accum} is not exact for loss "
@@ -180,13 +198,25 @@ def make_train_step(
         metrics = {"loss": loss, "grad_norm": gnorm, **comps}
         return new_state, metrics
 
+    if k_steps > 1:
+        def multi(state: TrainState, raw_k, ref_k, rng):
+            def body(st, inp):
+                return step(st, inp[0], inp[1], rng)
+            return jax.lax.scan(body, state, (raw_k, ref_k))
+        fn = multi
+    else:
+        fn = step
+
     if mesh is None:
-        return jax.jit(step, donate_argnums=0)
+        return jax.jit(fn, donate_argnums=0)
     repl = NamedSharding(mesh, P())
     state_sh = repl if state_shardings is None else state_shardings
     data = batch_sharding(mesh)
+    if k_steps > 1:
+        # leading K (scan) axis is unsharded; batch/context specs shift by 1
+        data = NamedSharding(mesh, P(None, *data.spec))
     return jax.jit(
-        step,
+        fn,
         in_shardings=(state_sh, data, data, repl),
         out_shardings=(state_sh, repl),
         donate_argnums=0,
@@ -409,42 +439,56 @@ class ModelTrainer:
 
         # remat is handled per-block inside the models (init_model above);
         # make_train_step's coarse remat stays available for custom models
-        train_step = make_train_step(model, lossfn, tx, mesh=mesh,
+        k_disp = max(1, getattr(cfg, "steps_per_dispatch", 1))
+
+        def _build_steps():
+            single = make_train_step(model, lossfn, tx, mesh=mesh,
                                      state_shardings=state_sh,
                                      grad_accum=cfg.grad_accum)
+            multi = (make_train_step(model, lossfn, tx, mesh=mesh,
+                                     state_shardings=state_sh,
+                                     grad_accum=cfg.grad_accum,
+                                     k_steps=k_disp)
+                     if k_disp > 1 else None)
+            return single, multi
+
+        train_step, multi_step = _build_steps()
         first_step_done = False
 
-        def run_step(st, raw_d, ref_d, rng_d):
+        def run_step(st, raw_d, ref_d, rng_d, multi=False):
             """First step falls back to the pure-XLA attention path if the
             fused Pallas kernels fail to compile (e.g. the remote compile
             host OOMs on very large graphs — 512^2 NewBigModel)."""
-            nonlocal train_step, first_step_done
+            nonlocal train_step, multi_step, first_step_done
+            fn = multi_step if multi else train_step
             if first_step_done:
-                return train_step(st, raw_d, ref_d, rng_d)
+                return fn(st, raw_d, ref_d, rng_d)
             # The jitted step donates ``st``; a failure at *execution* time
             # (post-dispatch OOM) leaves its buffers deleted, so keep a host
             # snapshot to rebuild the state for the retry (first step only).
             st_host = jax.device_get(st)
             try:
-                out = train_step(st, raw_d, ref_d, rng_d)
+                out = fn(st, raw_d, ref_d, rng_d)
             except Exception as e:
                 if os.environ.get("UIRT_NO_PALLAS"):
                     raise
                 print(f"Pallas attention failed to compile "
                       f"({type(e).__name__}); retrying with UIRT_NO_PALLAS=1")
                 os.environ["UIRT_NO_PALLAS"] = "1"
-                train_step = make_train_step(model, lossfn, tx, mesh=mesh,
-                                             state_shardings=state_sh,
-                                             grad_accum=cfg.grad_accum)
+                train_step, multi_step = _build_steps()
+                fn = multi_step if multi else train_step
                 st = jax.device_put(st_host, state_sh)
-                out = train_step(st, raw_d, ref_d, rng_d)
+                out = fn(st, raw_d, ref_d, rng_d)
             first_step_done = True
             return out
         eval_step = make_eval_step(model, lossfn, mesh=mesh)
         img_sh = batch_sharding(mesh)
+        grp_sh = NamedSharding(mesh, P(None, *img_sh.spec))
         vec_sh = NamedSharding(mesh, P(DATA_AXIS))
         put = lambda a: jax.device_put(
-            jnp.asarray(a), img_sh if np.ndim(a) == 4 else vec_sh)
+            jnp.asarray(a),
+            grp_sh if np.ndim(a) == 5 else
+            img_sh if np.ndim(a) == 4 else vec_sh)
         step_rng = jax.device_put(jax.random.PRNGKey(cfg.seed + 1), repl)
         timer = StepTimer()
 
@@ -463,12 +507,14 @@ class ModelTrainer:
                 hist_pending = []   # (true batch index, device histograms)
                 t0 = time.time()
                 train_loader.epoch = epoch
-                for batch in train_loader:
-                    bi = batch.index  # true index (enumerate restarts at 0
-                    #                   after a mid-epoch resume)
-                    timer.start()
-                    raw_d, ref_d = put(batch.raw), put(batch.ref)
-                    state, m = run_step(state, raw_d, ref_d, step_rng)
+
+                def post_step(bi, m, raw_d, ref_d):
+                    """Per-batch bookkeeping shared by the single and the
+                    K-grouped dispatch paths.  In the grouped path the watch
+                    histograms see the params at the end of the enclosing
+                    dispatch (≤ k_disp-1 optimizer steps later than the
+                    watched batch) — the 1/watch_freq duty cycle makes that
+                    drift immaterial."""
                     epoch_metrics.append((bi, m))
                     if (watch_step is not None
                             and (epoch * nb + bi) % watch_freq == 0):
@@ -479,7 +525,39 @@ class ModelTrainer:
                         lv, gn = float(m["loss"]), float(m["grad_norm"])
                         print(f"Batch {bi + 1}/{nb}, Loss: {lv:.6f}, "
                               f"Norm: {gn:.6f}")
+
+                group = []  # buffered (index, raw, ref) host batches
+
+                def flush_group():
+                    """Dispatch the buffered batches: one K-step scan when a
+                    full group is ready, single steps for the remainder."""
+                    nonlocal state
+                    if not group:
+                        return
+                    timer.start()
+                    if multi_step is not None and len(group) == k_disp:
+                        raw_k = put(np.stack([g[1] for g in group]))
+                        ref_k = put(np.stack([g[2] for g in group]))
+                        state, ms = run_step(state, raw_k, ref_k, step_rng,
+                                             multi=True)
+                        for j, (bi, _, _) in enumerate(group):
+                            post_step(bi, {k: v[j] for k, v in ms.items()},
+                                      raw_k[j], ref_k[j])
+                    else:
+                        for bi, raw, ref in group:
+                            raw_d, ref_d = put(raw), put(ref)
+                            state, m = run_step(state, raw_d, ref_d, step_rng)
+                            post_step(bi, m, raw_d, ref_d)
                     timer.stop()
+                    group.clear()
+
+                for batch in train_loader:
+                    # batch.index is the true index (enumerate would restart
+                    # at 0 after a mid-epoch resume)
+                    group.append((batch.index, batch.raw, batch.ref))
+                    if len(group) == k_disp:
+                        flush_group()
+                flush_group()
                 # fetch the epoch's device scalars once, then emit all sink
                 # records in ascending-step order (W&B silently drops any
                 # log whose step is below the run's max step, so histograms
