@@ -26,6 +26,17 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+import time
+
+T0 = time.time()
+
+
+def _note(msg: str) -> None:
+    """Progress to stderr (stdout stays one JSON line): the remote compile
+    service can wedge for minutes, so a silent bench is undiagnosable."""
+    print(f"[bench +{time.time() - T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 SIZE = 256
@@ -75,10 +86,15 @@ def _run_ladder(arch: str, size: int, ladder, *, windows: int,
     last_err = None
     for cell in ladder:
         batch, k = cell if isinstance(cell, tuple) else (cell, 1)
+        _note(f"{arch}@{size} batch={batch} K={k} ...")
         try:
-            return _run(arch, size, batch, windows=windows, steps=steps,
-                        k_steps=k, **model_kw)
+            r = _run(arch, size, batch, windows=windows, steps=steps,
+                     k_steps=k, **model_kw)
+            _note(f"{arch}@{size} batch={batch} K={k} -> {r:.1f} img/s")
+            return r
         except Exception as e:  # XlaRuntimeError: RESOURCE_EXHAUSTED etc.
+            _note(f"{arch}@{size} batch={batch} K={k} failed: "
+                  f"{type(e).__name__}")
             last_err = e
     raise last_err
 
