@@ -39,6 +39,36 @@ def test_export_roundtrip_symbolic_batch():
         np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_export_cli_from_checkpoint_dir(tmp_path):
+    """The CLI's --weights <training checkpoint dir> branch: restore_params
+    already returns the full flax variables dict, so main() must not wrap it
+    in another {'params': ...} (regression: double-wrap broke every
+    dir-based export)."""
+    from underwater_image_restoration_tpu.tools import export_model as em
+    from underwater_image_restoration_tpu.train.checkpoint import (
+        CheckpointManager,
+    )
+
+    model = init_model("SpectralTransformer", img_size=16, dtype=jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(2), jnp.zeros((1, 16, 16, 3), jnp.float32))
+    ckdir = tmp_path / "ck"
+    mgr = CheckpointManager(str(ckdir))
+    mgr.save(0, params=variables, opt_state={}, epoch=0, val_loss=1.0)
+    mgr.close()
+
+    out = tmp_path / "m.hlo"
+    em.main(["-a", "SpectralTransformer", "--weights", str(ckdir),
+             "--size", "16", "--batch", "2", "--platforms", "cpu",
+             "--out", str(out)])
+    fn = load_exported(out.read_bytes())
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 16, 16, 3), dtype=np.float32))
+    want = np.asarray(model.apply(variables, x, deterministic=True))
+    # CLI default compute dtype is bf16; compare at bf16 tolerance
+    np.testing.assert_allclose(np.asarray(fn(x)), want, atol=0.1, rtol=0.1)
+
+
 def test_export_model_entry_point():
     """The public export_model() path (default-config model) serializes and
     the blob deserializes to a callable."""

@@ -89,7 +89,10 @@ def main(argv=None):
     if os.path.isdir(a.weights):
         from ..train.checkpoint import restore_params
 
-        variables = {"params": restore_params(a.weights)}
+        # restore_params already returns the full flax variables dict
+        # ({'params': ...} — TrainState.params is model.init's output);
+        # only the flat .npz branch needs wrapping.
+        variables = restore_params(a.weights)
     else:
         flat = dict(np.load(a.weights))
         from .convert_checkpoint import unflatten
