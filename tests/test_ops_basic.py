@@ -170,3 +170,67 @@ def test_l2_normalize_matches_torch(rng):
     y = ops.l2_normalize(jnp.asarray(x), axis=-1)
     yt = TF.normalize(torch.from_numpy(x), dim=-1)
     np.testing.assert_allclose(np.asarray(y), yt.numpy(), atol=1e-6)
+
+
+def test_l2_normalize_zero_row_gradient_matches_torch(rng):
+    """An exactly-zero row must get torch's subgradient-0 treatment
+    (gradient I/eps through the constant clamp), not inf*0=NaN from
+    d sqrt(s)/ds at s=0 — the cliff that NaN'd real bf16 training."""
+    x = rng.standard_normal((3, 5), dtype=np.float32)
+    x[1] = 0.0
+    g = jax.grad(lambda z: jnp.sum(ops.l2_normalize(z, axis=-1) ** 2))(
+        jnp.asarray(x))
+    assert np.isfinite(np.asarray(g)).all()
+    xt = torch.from_numpy(x).requires_grad_()
+    (TF.normalize(xt, dim=-1) ** 2).sum().backward()
+    np.testing.assert_allclose(np.asarray(g), xt.grad.numpy(), atol=1e-5)
+
+
+def test_safe_complex_abs_angle_forward_and_zero_gradient(rng):
+    from underwater_image_restoration_tpu.ops.spectral import (
+        safe_abs,
+        safe_angle,
+    )
+
+    z = (rng.standard_normal(16) + 1j * rng.standard_normal(16)).astype(
+        np.complex64)
+    z[3] = 0.0 + 0.0j
+    zj = jnp.asarray(z)
+    # forward bit-identical to the unguarded jnp ops (angle(0)=0, abs(0)=0;
+    # numpy's atan2 differs from XLA's in the last ulp, so compare in-JAX)
+    np.testing.assert_array_equal(np.asarray(safe_abs(zj)),
+                                  np.asarray(jnp.abs(zj)))
+    np.testing.assert_array_equal(np.asarray(safe_angle(zj)),
+                                  np.asarray(jnp.angle(zj)))
+
+    def via_real(f, re, im):
+        return jnp.sum(f(re + 1j * im))
+
+    for f in (safe_abs, safe_angle):
+        gre, gim = jax.grad(via_real, argnums=(1, 2))(
+            f, jnp.asarray(z.real), jnp.asarray(z.imag))
+        assert np.isfinite(np.asarray(gre)).all(), f
+        assert np.isfinite(np.asarray(gim)).all(), f
+        # zero entry contributes zero gradient; others match the raw op
+        assert gre[3] == 0 and gim[3] == 0
+
+
+def test_spectral_upsample_gradient_finite_at_zero_input():
+    """UpS on an all-zero feature map: every FFT bin is exactly 0, so mag
+    and angle sit on the old NaN cliff; the whole backward must stay
+    finite (reference parity: torch sgn(0)=0 subgradient)."""
+    from underwater_image_restoration_tpu.models.spectral_transformer import (
+        SpectralUpSample,
+    )
+
+    m = SpectralUpSample(channels=4, channel_red=True, dtype=jnp.float32)
+    x0 = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    params = m.init(jax.random.key(0), x0)
+
+    def loss(p, x):
+        return jnp.sum(m.apply(p, x) ** 2)
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(params, x0)
+    assert np.isfinite(np.asarray(gx)).all()
+    for leaf in jax.tree.leaves(gp):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -45,6 +45,8 @@ from ..ops.spectral import (
     fftn_real_spatial,
     ifftn_real_spatial,
     fft2,
+    safe_abs,
+    safe_angle,
 )
 from ..parallel import cp_ops
 
@@ -53,7 +55,7 @@ def inv_mag(x):
     """Phase-only reconstruction: ifft2(exp(i*angle(fft2(x)))).real
     (reference SpectralTransformer.py:9-13)."""
     f = fft2(x.astype(jnp.float32))
-    pha = jnp.exp(1j * jnp.angle(f).astype(jnp.complex64))
+    pha = jnp.exp(1j * safe_angle(f).astype(jnp.complex64))
     return jnp.fft.ifft2(pha, axes=(1, 2)).real.astype(x.dtype)
 
 
@@ -251,7 +253,10 @@ class SpectralUpSample(nn.Module):
     def __call__(self, x):
         c = self.channels
         f = cp_ops.fft2(x.astype(jnp.float32), self.mesh)
-        mag, pha = jnp.abs(f), jnp.angle(f)
+        # safe_*: zero (torch-like) gradient at exactly-zero FFT bins —
+        # jnp.abs/angle backward is 0/0=NaN there, and real-input FFTs +
+        # bf16 activations hit exact zeros in training (see ops.spectral)
+        mag, pha = safe_abs(f), safe_angle(f)
 
         def fuse(t, name):
             t = Conv2d(c, 1, dtype=jnp.float32, name=f"{name}_0")(t)

@@ -176,6 +176,14 @@ def leaky_relu(x, negative_slope: float = 0.01):
 
 
 def l2_normalize(x, axis=-1, eps: float = 1e-12):
-    """F.normalize(x, dim=axis): x / max(||x||_2, eps)."""
-    n = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True))
-    return (x.astype(jnp.float32) / jnp.maximum(n, eps)).astype(x.dtype)
+    """F.normalize(x, dim=axis): x / max(||x||_2, eps).
+
+    Written as ``x / sqrt(max(s, eps^2))`` (same function: sqrt is
+    monotone) so the gradient at an exactly-zero row is 0, like torch's
+    norm subgradient — ``max(sqrt(s), eps)`` instead evaluates
+    d sqrt/ds = inf at s=0 and the max's zero cotangent turns it into
+    inf*0 = NaN, killing the whole step's gradient (bf16 activations
+    produce exact-zero rows in real training)."""
+    s = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(s, eps * eps))
+    return (x.astype(jnp.float32) / n).astype(x.dtype)

@@ -17,6 +17,31 @@ def fft2(x):
     return jnp.fft.fftn(x, axes=(1, 2))
 
 
+def safe_abs(f):
+    """|f| for complex f with a ZERO (not NaN) gradient at f == 0.
+
+    ``jnp.abs`` of a complex number has gradient (re/|f|, im/|f|) — 0/0 =
+    NaN at exactly-zero bins.  Real-input FFTs have structurally-real bins
+    (DC/Nyquist rows) and bf16-quantized activations cancel to exact zeros
+    readily, so training sits on that cliff (observed: finite loss, NaN
+    grad after one optimizer step).  torch defines subgradient 0 there
+    (torch.abs backward uses sgn, sgn(0)=0), so the reference never dies.
+    Forward is bit-identical: only exactly-zero bins are rewritten, where
+    abs already returns 0."""
+    zero = (jnp.real(f) == 0) & (jnp.imag(f) == 0)
+    f_ = jnp.where(zero, jnp.ones((), f.dtype), f)
+    return jnp.where(zero, jnp.zeros((), jnp.real(f).dtype), jnp.abs(f_))
+
+
+def safe_angle(f):
+    """angle(f) with a zero gradient at f == 0 (gradient is
+    (-im, re)/|f|^2 — NaN at zero bins; numpy/torch both define
+    angle(0) = 0 so the forward is bit-identical)."""
+    zero = (jnp.real(f) == 0) & (jnp.imag(f) == 0)
+    f_ = jnp.where(zero, jnp.ones((), f.dtype), f)
+    return jnp.where(zero, jnp.zeros((), jnp.real(f).dtype), jnp.angle(f_))
+
+
 def ifft2(x):
     return jnp.fft.ifftn(x, axes=(1, 2))
 
@@ -35,7 +60,7 @@ def inv_mag(x):
     """Phase-only reconstruction (reference SpectralTransformer.py:9-13):
     ifft2(exp(i * angle(fft2(x)))).real"""
     f = fft2(x.astype(jnp.float32))
-    phase = jnp.angle(f)
+    phase = safe_angle(f)
     return jnp.real(ifft2(jnp.exp(1j * phase))).astype(x.dtype)
 
 
@@ -56,4 +81,4 @@ def spectral_tile_upsample(mag, phase):
     of a (2H, 2W) one and no tiled complex intermediate, bit-identical
     output (tests/test_ops_basic.py pins it against the literal form)."""
     comp = mag * jnp.cos(phase) + 1j * mag * jnp.sin(phase)
-    return zero_stuff2x(jnp.abs(jnp.fft.ifftn(comp, axes=(1, 2))))
+    return zero_stuff2x(safe_abs(jnp.fft.ifftn(comp, axes=(1, 2))))

@@ -113,11 +113,11 @@ def spectral_tile_upsample(mag, phase, mesh: Optional[Mesh] = None):
     FFT runs at (H, W) instead of (2H, 2W).  The even-position stuffing of a
     row-sharded map stays shard-local (each shard's 2x rows come from its
     own source rows; GSPMD keeps it comm-free)."""
-    from ..ops.spectral import zero_stuff2x
+    from ..ops.spectral import safe_abs, zero_stuff2x
 
     comp = (mag * jnp.cos(phase) + 1j * mag * jnp.sin(phase)).astype(
         jnp.complex64)
-    return zero_stuff2x(jnp.abs(ifft2(comp, mesh)))
+    return zero_stuff2x(safe_abs(ifft2(comp, mesh)))
 
 
 def cp_attention_viable(batch: int, n_win_h: int,
