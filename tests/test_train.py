@@ -125,6 +125,7 @@ def test_grad_accum_matches_full_batch(tiny_setup):
 
     st1, l1 = run(1)
     st2, l2 = run(2)
+    assert np.isfinite(l1).all() and np.isfinite(l2).all()
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
                                                          atol=1e-6),
@@ -172,6 +173,10 @@ def test_k_steps_matches_sequential(tiny_setup):
     st_b = fresh_state(tx)
     st_b, ms = multi(st_b, jnp.asarray(np.stack(raws)),
                      jnp.asarray(np.stack(refs)), rng)
+    # equal_nan guard: allclose treats NaN==NaN as equal, which would let
+    # both paths silently diverge to NaN together (it happened: the
+    # l2_normalize/complex-abs zero-gradient cliffs NaN'd real training)
+    assert np.isfinite(seq_losses).all()
     np.testing.assert_allclose(np.asarray(ms["loss"]), seq_losses, rtol=1e-5)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
                                                          atol=1e-6),
@@ -182,15 +187,18 @@ def test_k_steps_matches_sequential(tiny_setup):
 def test_trainer_steps_per_dispatch_equals_single(train_dirs, tmp_path):
     """A 1-epoch run with steps_per_dispatch=2 (3 batches/epoch: one full
     group + a remainder single step) must reproduce the plain run's
-    per-batch losses and final params."""
+    per-batch losses and final params.  watch_freq=2 / print_freq=1 also
+    drive the grouped path's duty-cycled slice thunks (watch histograms,
+    print scalars), which must fire at the same global steps as the plain
+    run's."""
     import json
 
     def run(k, name):
         cfg = Config(
             arch="SpectralTransformer", lossf="L1", lr=1e-3, max_epoch=1,
             train_batch_size=2, test_batch_size=2, image_size=16,
-            mesh_data=2, use_wandb=False, workers=2, print_freq=100,
-            seed=3, steps_per_dispatch=k, optim="sgd", watch_freq=0,
+            mesh_data=2, use_wandb=False, workers=2, print_freq=1,
+            seed=3, steps_per_dispatch=k, optim="sgd", watch_freq=2,
             checkpoint_dir=str(tmp_path / name),
         )
         tr = ModelTrainer(
@@ -203,11 +211,17 @@ def test_trainer_steps_per_dispatch_equals_single(train_dirs, tmp_path):
         recs = [json.loads(l)
                 for l in open(os.path.join(run_dir, "metrics.jsonl"))]
         losses = [r["train/loss"] for r in recs if "train/loss" in r]
-        return jax.device_get(state.params), losses
+        hist_steps = sorted({r["_step"] for r in recs
+                             if any(k.startswith(("parameters/",
+                                                  "gradients/"))
+                                    for k in r)})
+        return jax.device_get(state.params), losses, hist_steps
 
-    p1, l1 = run(1, "ck1")
-    p2, l2 = run(2, "ck2")
+    p1, l1, h1 = run(1, "ck1")
+    p2, l2, h2 = run(2, "ck2")
     assert len(l1) == 3  # 6 imgs / batch 2
+    assert h1 == h2 and h1  # watch fired, at identical global steps
+    assert np.isfinite(l1).all() and np.isfinite(l2).all()
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
                                                          atol=1e-6), p1, p2)

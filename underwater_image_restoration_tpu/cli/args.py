@@ -167,8 +167,9 @@ def argument_parser() -> argparse.ArgumentParser:
                              "evenly); accumulated inside the jitted step "
                              "via lax.scan with per-loss-family scaling, so "
                              "the optimizer sees exactly the full-batch "
-                             "gradient while only one microbatch's "
-                             "activations are live")
+                             "gradient (up to DropPath rng: microbatches "
+                             "draw independent dropout noise) while only "
+                             "one microbatch's activations are live")
     parser.add_argument("--steps-per-dispatch", type=int, default=1,
                         help="full optimizer steps per device dispatch "
                              "(lax.scan over K stacked batches inside one "

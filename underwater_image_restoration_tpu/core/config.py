@@ -94,7 +94,9 @@ class Config:
     #                               step scans train_batch_size/grad_accum-sized
     #                               microbatches, accumulating gradients with
     #                               per-loss-family scaling (== the full-batch
-    #                               gradient) — trains effective batches beyond
+    #                               gradient for deterministic forwards; under
+    #                               active DropPath each microbatch draws its
+    #                               own rng) — trains effective batches beyond
     #                               what one forward's activations fit in HBM
     steps_per_dispatch: int = 1   # FULL optimizer steps per device dispatch
     #                               (lax.scan over K stacked batches).  Bit-

@@ -91,7 +91,12 @@ def make_train_step(
     microbatches scanned with ``lax.scan``, accumulating gradients before
     the single optimizer update — keeping only one microbatch's activations
     live (trains effective batches beyond the per-forward HBM fit).  The
-    accumulation is scaled so the result EQUALS the full-batch step: plain
+    accumulation is scaled so the result EQUALS the full-batch step for
+    deterministic forwards; with active DropPath (non-zero drop_path rates,
+    deterministic=False) microbatch i draws its dropout noise from
+    ``fold_in(rng, i)`` instead of ``rng``, so the update is an equally
+    valid but different stochastic sample than the grad_accum=1 step (exact
+    rng parity across a split batch is impossible).  Scaling: plain
     mean losses average the microbatch grads, while the B*C-divided family
     (``lossfn.bc_divided`` — reference losses.py:57,65,78 divides by the
     batch dim, so a microbatch loss is ``grad_accum``× the full-batch one)
@@ -470,7 +475,10 @@ class ModelTrainer:
             try:
                 out = fn(st, raw_d, ref_d, rng_d)
             except Exception as e:
-                if os.environ.get("UIRT_NO_PALLAS"):
+                if (os.environ.get("UIRT_NO_PALLAS")
+                        or not os.environ.get("UIRT_PALLAS")):
+                    # no Pallas kernel was in the graph — the failure is
+                    # real, don't mask it behind a pointless rebuild
                     raise
                 print(f"Pallas attention failed to compile "
                       f"({type(e).__name__}); retrying with UIRT_NO_PALLAS=1")
@@ -503,26 +511,32 @@ class ModelTrainer:
                     step=state.step,
                 )
                 state = jax.device_put(state, state_sh)
-                epoch_metrics = []  # (true batch index, device metrics)
+                epoch_metrics = []  # (batch index, metrics) or, for a
+                # K-grouped dispatch, ([indices], stacked (K,) metrics)
                 hist_pending = []   # (true batch index, device histograms)
                 t0 = time.time()
                 train_loader.epoch = epoch
 
-                def post_step(bi, m, raw_d, ref_d):
-                    """Per-batch bookkeeping shared by the single and the
-                    K-grouped dispatch paths.  In the grouped path the watch
-                    histograms see the params at the end of the enclosing
-                    dispatch (≤ k_disp-1 optimizer steps later than the
-                    watched batch) — the 1/watch_freq duty cycle makes that
-                    drift immaterial."""
-                    epoch_metrics.append((bi, m))
+                def post_step(bi, get_pair, get_scalar):
+                    """Per-batch watch/print bookkeeping shared by the single
+                    and the K-grouped dispatch paths.  ``get_pair`` /
+                    ``get_scalar`` are thunks so the grouped path only issues
+                    the device slice ops on the (rare) duty-cycle hits —
+                    eager per-batch slicing would re-introduce the fixed
+                    per-dispatch tunnel round-trip that k_steps amortizes.
+                    In the grouped path the watch histograms see the params
+                    at the end of the enclosing dispatch (≤ k_disp-1
+                    optimizer steps later than the watched batch) — the
+                    1/watch_freq duty cycle makes that drift immaterial."""
                     if (watch_step is not None
                             and (epoch * nb + bi) % watch_freq == 0):
+                        raw_d, ref_d = get_pair()
                         hist_pending.append((bi, watch_step(
                             state.params, raw_d, ref_d,
                             jax.random.fold_in(step_rng, state.step))))
                     if (bi + 1) % max(1, cfg.print_freq) == 0:
-                        lv, gn = float(m["loss"]), float(m["grad_norm"])
+                        lv, gn = (float(get_scalar("loss")),
+                                  float(get_scalar("grad_norm")))
                         print(f"Batch {bi + 1}/{nb}, Loss: {lv:.6f}, "
                               f"Norm: {gn:.6f}")
 
@@ -540,14 +554,23 @@ class ModelTrainer:
                         ref_k = put(np.stack([g[2] for g in group]))
                         state, ms = run_step(state, raw_k, ref_k, step_rng,
                                              multi=True)
-                        for j, (bi, _, _) in enumerate(group):
-                            post_step(bi, {k: v[j] for k, v in ms.items()},
-                                      raw_k[j], ref_k[j])
+                        # keep the stacked (K,) metrics on device; they are
+                        # split per-batch on host after the epoch-end
+                        # device_get (one transfer, zero extra dispatches)
+                        idxs = [g[0] for g in group]
+                        epoch_metrics.append((idxs, ms))
+                        for j, bi in enumerate(idxs):
+                            post_step(bi,
+                                      lambda j=j: (raw_k[j], ref_k[j]),
+                                      lambda k, j=j: ms[k][j])
                     else:
                         for bi, raw, ref in group:
                             raw_d, ref_d = put(raw), put(ref)
                             state, m = run_step(state, raw_d, ref_d, step_rng)
-                            post_step(bi, m, raw_d, ref_d)
+                            epoch_metrics.append((bi, m))
+                            post_step(bi,
+                                      lambda d=(raw_d, ref_d): d,
+                                      lambda k, m=m: m[k])
                     timer.stop()
                     group.clear()
 
@@ -563,7 +586,14 @@ class ModelTrainer:
                 # log whose step is below the run's max step, so histograms
                 # must interleave with the per-batch metrics, not precede
                 # them)
-                host_metrics = jax.device_get(epoch_metrics)
+                host_metrics = []
+                for bi, m in jax.device_get(epoch_metrics):
+                    if isinstance(bi, list):  # stacked K-group entry
+                        host_metrics.extend(
+                            (b, {k: v[j] for k, v in m.items()})
+                            for j, b in enumerate(bi))
+                    else:
+                        host_metrics.append((bi, m))
                 host_hists = dict(jax.device_get(hist_pending))
                 for bi, m in host_metrics:
                     explog.log_train_metrics(
