@@ -121,6 +121,25 @@ def main():
             else:
                 os.environ["UIRT_NO_PALLAS"] = prev
 
+    # Serving-side number: the jitted uint8->forward inference path
+    # (eval/evaluate.py batched dispatch).  Ladder falls back on OOM.
+    infer = {}
+    for batch in (512, 256, 64, 8):
+        _note(f"infer Spectral@256 batch={batch} ...")
+        try:
+            from underwater_image_restoration_tpu.train.benchlib import (
+                time_infer,
+            )
+
+            infer["SpectralTransformer@256"] = round(
+                time_infer("SpectralTransformer", 256, batch, steps=10,
+                           windows=2), 2)
+            _note(f"infer batch={batch} -> "
+                  f"{infer['SpectralTransformer@256']} img/s")
+            break
+        except Exception as e:
+            _note(f"infer batch={batch} failed: {type(e).__name__}")
+
     print(json.dumps({
         "metric": "UIEB 256^2 SpectralTransformer train-step throughput",
         "value": round(imgs_per_sec, 2),
@@ -130,6 +149,7 @@ def main():
                          "PyTorch ESTIMATE (the reference publishes no "
                          "throughput); vs_baseline >= 5 meets the north-star",
         "archs": archs,
+        "inference": infer,
     }))
 
 

@@ -146,6 +146,18 @@ def test_evaluate_pairs_and_dir_metrics(tiny_model, tmp_path, monkeypatch):
     psnrs = evaluate_pairs(model, params, "a", "b", image_size=16)
     assert psnrs.shape == (3,) and np.all(np.isfinite(psnrs))
     assert sorted(os.listdir("test")) == ["0.png", "1.png", "2.png"]
+    # batched dispatch (batch 2 over 3 images: one full + one zero-padded
+    # batch) must reproduce the per-image results and files exactly
+    import hashlib
+
+    digest1 = {f: hashlib.sha256(open(f"test/{f}", "rb").read()).hexdigest()
+               for f in os.listdir("test")}
+    psnrs_b = evaluate_pairs(model, params, "a", "b", image_size=16,
+                             out_pred="test2", out_ref="ref2", batch_size=2)
+    np.testing.assert_allclose(psnrs_b, psnrs, rtol=1e-6)
+    for f, d in digest1.items():
+        assert hashlib.sha256(
+            open(f"test2/{f}", "rb").read()).hexdigest() == d
     ssims, ps = dir_ssim_psnr("test", "ref", size=16, drop_n=1)
     assert len(ssims) == 3 and len(ps) == 3
     assert np.all(ssims <= 1.0) and np.all(np.isfinite(ps))

@@ -37,28 +37,89 @@ def _load_u8(path: str, size: Optional[int]) -> np.ndarray:
     return decode_image(path, size)
 
 
-def _jit_apply(model, params):
-    import jax
+def _batched_apply(model, params, batch_size: int):
+    """One jitted forward over a fixed (B, H, W, 3) uint8 batch.
 
-    return jax.jit(lambda x: model.apply(params, x))
+    Inference used to issue one batch-1 dispatch per image with a
+    synchronous host round-trip — on the tunneled-TPU setup each dispatch
+    costs a fixed ~5 ms (PERF_NOTES.md), so evaluation was latency-bound at
+    ~200 img/s no matter the model.  Batching B images per dispatch and
+    transferring uint8 (normalize fused on device, like the trainer's step)
+    amortizes both the round-trip and the host->device bytes 4x.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def fwd(u8):
+        x = (u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        return model.apply(params, x)
+
+    return jax.jit(fwd), batch_size
+
+
+def _run_batched(u8_iter, n_images: int, apply_b, batch_size: int):
+    """Yield (index, float32 HWC output) in order, B images per dispatch.
+
+    The last short batch is zero-padded to the fixed jit shape (every model
+    in the zoo is batch-independent, so padding rows can't leak into real
+    ones); one batch stays in flight while the host materializes/saves the
+    previous (JAX async dispatch does the overlap).
+    """
+    import numpy as np
+
+    pending = None  # (indices, device array)
+    buf, idxs = [], []
+
+    def dispatch():
+        nonlocal pending
+        batch = np.stack(buf)
+        if len(buf) < batch_size:
+            pad = np.zeros((batch_size - len(buf),) + batch.shape[1:],
+                           batch.dtype)
+            batch = np.concatenate([batch, pad])
+        out = apply_b(batch)  # async: returns before compute finishes
+        prev, pending = pending, (list(idxs), out)
+        buf.clear()
+        idxs.clear()
+        return prev
+
+    def drain(entry):
+        if entry is not None:
+            host = np.asarray(entry[1]).astype(np.float32)
+            for j, gi in enumerate(entry[0]):
+                yield gi, host[j]
+
+    for i, u8 in zip(range(n_images), u8_iter):
+        buf.append(u8)
+        idxs.append(i)
+        if len(buf) == batch_size:
+            yield from drain(dispatch())
+    if buf:
+        yield from drain(dispatch())
+    yield from drain(pending)
 
 
 def evaluate_pairs(model, params, test_raw_dir: str, test_ref_dir: str,
                    out_pred: str = "test", out_ref: str = "ref",
-                   image_size: int = 1024, batch_log: int = 20):
+                   image_size: int = 1024, batch_log: int = 20,
+                   batch_size: int = 8):
     """Returns per-image float-PSNR array; dumps pred/ref PNG pairs."""
-    import jax.numpy as jnp
-
     from ..data import UIEBDataset
 
     ds = UIEBDataset(test_raw_dir, test_ref_dir, image_size)
-    apply = _jit_apply(model, params)
+    apply_b, bs = _batched_apply(model, params,
+                                 min(batch_size, max(1, len(ds))))
+    refs = {}
+
+    def raws():
+        for i in range(len(ds)):
+            raw_u8, ref_u8 = ds[i]
+            refs[i] = ref_u8
+            yield raw_u8
+
     psnrs = []
-    for i in range(len(ds)):
-        raw_u8, ref_u8 = ds[i]
-        x = (jnp.asarray(raw_u8, jnp.float32)[None] / 255.0 - 0.5) / 0.5
-        y = np.asarray(apply(x))[0].astype(np.float32)
-        ref = (ref_u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+    for i, y in _run_batched(raws(), len(ds), apply_b, bs):
+        ref = (refs.pop(i).astype(np.float32) / 255.0 - 0.5) / 0.5
         save_img(y, os.path.join(out_pred, f"{i}.png"))
         save_img(ref, os.path.join(out_ref, f"{i}.png"))
         psnrs.append(psnr_float_pm1(ref, y))
@@ -71,18 +132,16 @@ def evaluate_pairs(model, params, test_raw_dir: str, test_ref_dir: str,
 
 
 def infer_directory(model, params, input_dir: str, out_dir: str,
-                    size: int = 256):
+                    size: int = 256, batch_size: int = 8):
     """U45-style unpaired inference: sorted listing, resize, model, dump."""
-    import jax.numpy as jnp
-
-    apply = _jit_apply(model, params)
     exts = (".jpg", ".jpeg", ".png", ".bmp", ".tiff")
     files = sorted(f for f in os.listdir(input_dir)
                    if f.lower().endswith(exts))
-    for idx, f in enumerate(files):
-        u8 = _load_u8(os.path.join(input_dir, f), size)
-        x = (jnp.asarray(u8, jnp.float32)[None] / 255.0 - 0.5) / 0.5
-        y = np.asarray(apply(x))[0].astype(np.float32)
+    if not files:
+        return 0
+    apply_b, bs = _batched_apply(model, params, min(batch_size, len(files)))
+    u8s = (_load_u8(os.path.join(input_dir, f), size) for f in files)
+    for idx, y in _run_batched(u8s, len(files), apply_b, bs):
         save_img(y, os.path.join(out_dir, f"{idx}.png"))
     return len(files)
 
@@ -173,6 +232,9 @@ def main(argv=None):
     pe.add_argument("--image-size", type=int, default=1024)
     pe.add_argument("--out-pred", default="test")
     pe.add_argument("--out-ref", default="ref")
+    pe.add_argument("--batch", type=int, default=8,
+                    help="images per device dispatch (amortizes the fixed "
+                         "per-dispatch host round-trip; outputs identical)")
 
     pi = sub.add_parser("infer", help="U45 inference (cell 2)")
     pi.add_argument("--weights", required=True)
@@ -181,6 +243,8 @@ def main(argv=None):
     pi.add_argument("--input", required=True)
     pi.add_argument("--out", default="uTest")
     pi.add_argument("--size", type=int, default=256)
+    pi.add_argument("--batch", type=int, default=8,
+                    help="images per device dispatch")
 
     pu = sub.add_parser("uiqm", help="UIQM sweep (cell 3)")
     pu.add_argument("--dir", required=True)
@@ -204,10 +268,12 @@ def main(argv=None):
     if args.cmd == "pairs":
         model, params = _load_model(args)
         return evaluate_pairs(model, params, args.test_raw, args.test_ref,
-                              args.out_pred, args.out_ref, args.image_size)
+                              args.out_pred, args.out_ref, args.image_size,
+                              batch_size=args.batch)
     if args.cmd == "infer":
         model, params = _load_model(args)
-        return infer_directory(model, params, args.input, args.out, args.size)
+        return infer_directory(model, params, args.input, args.out, args.size,
+                               batch_size=args.batch)
     if args.cmd == "uiqm":
         return uiqm_sweep(args.dir, args.size, emulate_cv2=not args.rgb)
     if args.cmd == "loss-sanity":

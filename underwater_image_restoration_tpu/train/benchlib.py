@@ -97,6 +97,42 @@ class TrainStepBench:
             steps=steps, windows=windows, warmup=warmup)
 
 
+def time_infer(arch: str, size: int, batch: int, *,
+               steps: int = 20, windows: int = 3, warmup: int = 3,
+               remat: bool = False, dtype=jnp.bfloat16,
+               **model_kw) -> float:
+    """Best-of-windows inference throughput (img/s): the jitted uint8 ->
+    normalize -> forward path ``eval.evaluate._batched_apply`` serves
+    (reference hot loop: Visualiser.py:15-34, eval.ipynb cell 1)."""
+    from underwater_image_restoration_tpu.data import synthetic_pair_batch
+    from underwater_image_restoration_tpu.models import init_model
+
+    model = init_model(arch, dtype=dtype, remat=remat, img_size=size,
+                       **model_kw)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32))
+
+    @jax.jit
+    def fwd(u8):
+        x = (u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        return model.apply(params, x)
+
+    raw, _ = synthetic_pair_batch(batch, size, seed=0)
+    raw_d = jax.device_put(jnp.asarray(raw))
+    jax.block_until_ready(fwd(raw_d))
+    for _ in range(max(0, warmup - 1)):
+        jax.block_until_ready(fwd(raw_d))
+    best = 0.0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(steps):
+            out = fwd(raw_d)
+        jax.block_until_ready(out)
+        best = max(best, batch * steps / (time.perf_counter() - t0))
+    return best
+
+
 def time_train_step(arch: str, size: int, batch: int, *,
                     steps: int = 20, windows: int = 3, warmup: int = 3,
                     n_batches: int = 1, lossf: str = "L1withColor",
