@@ -100,6 +100,10 @@ def _run_ladder(arch: str, size: int, ladder, *, windows: int,
 
 
 def main():
+    from underwater_image_restoration_tpu.cli.main import enable_compile_cache
+
+    enable_compile_cache(os.path.join(
+        os.path.expanduser("~"), ".cache", "uirt_xla"))
     imgs_per_sec = _run_ladder(
         "SpectralTransformer", SIZE,
         ((64, 32), (64, 8), (64, 1), (32, 1), (8, 1)), windows=3)

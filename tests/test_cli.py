@@ -105,3 +105,30 @@ def test_cli_train_and_evaluate(cli_dirs, tmp_path, monkeypatch):
     assert os.path.exists(out)
     img = np.asarray(Image.open(out))
     assert img.shape == (16, 16, 3)
+
+
+def test_compile_cache_flag_and_helper(tmp_path):
+    """--compile-cache defaults to ~/.cache/uirt_xla, maps into Config, and
+    enable_compile_cache points jax at the dir (empty string = no-op)."""
+    import jax
+
+    from underwater_image_restoration_tpu.cli.args import argument_parser
+    from underwater_image_restoration_tpu.cli.main import enable_compile_cache
+    from underwater_image_restoration_tpu.core.config import from_namespace
+
+    ns = argument_parser().parse_args([])
+    assert ns.compile_cache.endswith("uirt_xla")
+    cache = str(tmp_path / "xla")
+    cfg = from_namespace(argument_parser().parse_args(
+        ["--compile-cache", cache]))
+    assert cfg.compile_cache == cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        enable_compile_cache(cache)
+        assert jax.config.jax_compilation_cache_dir == cache
+        assert os.path.isdir(cache)
+        enable_compile_cache("")  # no-op, keeps the previous dir
+        assert jax.config.jax_compilation_cache_dir == cache
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

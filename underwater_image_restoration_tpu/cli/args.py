@@ -8,6 +8,7 @@ extensions grouped at the bottom.
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def argument_parser() -> argparse.ArgumentParser:
@@ -161,6 +162,14 @@ def argument_parser() -> argparse.ArgumentParser:
                              "cache: decode+resize happens once, later "
                              "epochs stream zero-copy (the reference "
                              "re-decodes every epoch)")
+    parser.add_argument("--compile-cache", type=str,
+                        default=os.path.join(
+                            os.path.expanduser("~"), ".cache", "uirt_xla"),
+                        help="persistent XLA compilation-cache directory "
+                             "(first compiles take 20-40 s through the "
+                             "remote compile service; reruns of the same "
+                             "config then load the cached executable). "
+                             "Empty string disables")
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="gradient-accumulation microbatches per "
                              "optimizer step (train-batch-size must divide "

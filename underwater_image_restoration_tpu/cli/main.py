@@ -23,6 +23,23 @@ from ..obs.loggers import Logger
 from ..obs.visualiser import load_model_from_weights, process_image_using_model
 
 
+def enable_compile_cache(cache_dir: str) -> None:
+    """Persistent XLA compilation cache: first compiles through the remote
+    compile service take 20-40 s (and the service occasionally wedges);
+    re-running the same config then deserializes the cached executable
+    instead.  Best-effort — not every PJRT backend supports executable
+    serialization, so failures only warn."""
+    if not cache_dir:
+        return
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # default threshold skips tiny programs; cache anything >=1 s
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # unsupported backend / read-only filesystem
+        warnings.warn(f"compilation cache disabled: {e}")
+
+
 def main(argv=None):
     parser = argument_parser()
     args = parser.parse_args(argv)
@@ -32,6 +49,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     if args.no_pallas:
         os.environ["UIRT_NO_PALLAS"] = "1"
+    enable_compile_cache(cfg.compile_cache)
 
     print(jax.__version__)
     print(args.evaluate)

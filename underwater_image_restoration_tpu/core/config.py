@@ -86,6 +86,9 @@ class Config:
     cache_decoded: str = ""       # when set, decode+resize once into a uint8
     #                               memmap cache dir and stream later epochs
     #                               from it (data/cache.py)
+    compile_cache: str = ""       # persistent XLA compilation-cache dir
+    #                               (cli/main.py enables it; empty = off —
+    #                               the CLI default is ~/.cache/uirt_xla)
     watch_freq: int = 100         # param/grad histogram cadence in steps
     #                               (reference wandb.watch log_freq=100,
     #                               wandb_logger.py:27); 0 disables
