@@ -22,6 +22,15 @@ CELLS = [
     ("Spectral@256 bs64 K=32", "SpectralTransformer", {}, 256, 64, 32, False),
     ("Spectral@256 bs64 K=64", "SpectralTransformer", {}, 256, 64, 64, False),
     ("Spectral@256 bs64 K=128", "SpectralTransformer", {}, 256, 64, 128, False),
+    # fflMix (VGG+MS-SSIM+FFL) and 1024^2 were only measured at K=1 in
+    # round 1 — both plausibly dispatch-bound too
+    ("Spectral@256 bs16 fflMix K=1", "SpectralTransformer",
+     {"lossf": "fflMix"}, 256, 16, 1, False),
+    ("Spectral@256 bs16 fflMix K=8", "SpectralTransformer",
+     {"lossf": "fflMix"}, 256, 16, 8, False),
+    ("Spectral@1024 bs1 K=1", "SpectralTransformer", {}, 1024, 1, 1, False),
+    ("Spectral@1024 bs1 K=8", "SpectralTransformer", {}, 1024, 1, 8, False),
+    ("Spectral@1024 bs1 K=16", "SpectralTransformer", {}, 1024, 1, 16, False),
     ("AST@256 bs32 K=16", "AST", {}, 256, 32, 16, False),
     ("AST@256 bs32 K=32", "AST", {}, 256, 32, 32, False),
     ("AST@256 bs32 K=64", "AST", {}, 256, 32, 64, False),

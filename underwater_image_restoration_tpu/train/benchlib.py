@@ -50,8 +50,11 @@ class TrainStepBench:
         tx = get_optimizer("adam", lr)
         self.state = TrainState(params=params, opt_state=tx.init(params),
                                 step=jnp.zeros((), jnp.int32))
-        self.step = make_train_step(model, LossFunction(lossf), tx,
-                                    grad_accum=grad_accum, k_steps=k_steps)
+        # placeholder VGG is fine for TIMING perceptual-family losses: the
+        # trunk compute is identical whatever the weights hold
+        self.step = make_train_step(
+            model, LossFunction(lossf, allow_placeholder_vgg=True), tx,
+            grad_accum=grad_accum, k_steps=k_steps)
         # Host-generate only B images per staged batch and broadcast the
         # K-step stack ON DEVICE: materializing (K, B, H, W, 3) on the host
         # and shipping it through the remote-device tunnel is minutes of
