@@ -20,6 +20,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _force(x) -> float:
+    """Materialize a device value on the host and return its last scalar.
+
+    Used to close timing windows: a host fetch is the only operation the
+    remote-execution tunnel cannot acknowledge before the executable (and,
+    via donation, every dispatch it depends on) has truly finished —
+    ``block_until_ready`` there acks the enqueue and made the old windows
+    measure dispatch rate instead of compute."""
+    import numpy as np
+
+    return float(np.asarray(x).ravel()[-1])
+
+
 class TrainStepBench:
     """Builds a jitted train step for ``arch`` and times it.
 
@@ -84,13 +97,24 @@ class TrainStepBench:
     def best_throughput(self, *, steps: int = 20, windows: int = 3,
                         warmup: int = 3) -> float:
         """Best-of-``windows`` images/sec: the fastest window is the
-        least-contended estimate of our own speed on the shared chip."""
-        jax.block_until_ready(self.run(warmup)["loss"])
+        least-contended estimate of our own speed on the shared chip.
+
+        The window is closed by MATERIALIZING the final loss value on the
+        host (``np.asarray``), not ``block_until_ready``: through the axon
+        remote-execution tunnel block_until_ready returns on dispatch
+        acknowledgement (~5 ms enqueue round-trip), NOT compute completion,
+        so block-based windows measured the enqueue rate — producing
+        physically impossible numbers (342k img/s at 256^2 against a
+        ~1.6k img/s v5e MXU-peak ceiling for this step's ~0.1 TFLOP/img).
+        A value fetch can only be served after the executable has actually
+        run (and, through state donation, after every prior step has run),
+        so it times real work; the K floats transferred are noise."""
+        _force(self.run(warmup)["loss"])
         best = 0.0
         for _ in range(windows):
             t0 = time.perf_counter()
             m = self.run(steps)
-            jax.block_until_ready(m["loss"])
+            _force(m["loss"])
             best = max(best, self.batch * steps / (time.perf_counter() - t0))
         return best
 
@@ -115,23 +139,30 @@ def time_infer(arch: str, size: int, batch: int, *,
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32))
 
+    # Each dispatch folds one probe pixel of its output into a scalar carry
+    # threaded through the next dispatch: consecutive steps are data-
+    # dependent, full outputs can be freed immediately, and a single value
+    # fetch of the final carry waits for the WHOLE chain (see _force —
+    # block_until_ready through the tunnel acks the enqueue only).
     @jax.jit
-    def fwd(u8):
+    def fwd(u8, t):
         x = (u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-        return model.apply(params, x)
+        x = x + (t * 0).astype(x.dtype)
+        y = model.apply(params, x)
+        return t + y[0, 0, 0, 0].astype(jnp.float32)
 
     raw, _ = synthetic_pair_batch(batch, size, seed=0)
     raw_d = jax.device_put(jnp.asarray(raw))
-    jax.block_until_ready(fwd(raw_d))
-    for _ in range(max(0, warmup - 1)):
-        jax.block_until_ready(fwd(raw_d))
+    t = jnp.zeros((), jnp.float32)
+    for _ in range(max(1, warmup)):
+        t = fwd(raw_d, t)
+    _force(t)
     best = 0.0
     for _ in range(windows):
         t0 = time.perf_counter()
-        out = None
         for _ in range(steps):
-            out = fwd(raw_d)
-        jax.block_until_ready(out)
+            t = fwd(raw_d, t)
+        _force(t)
         best = max(best, batch * steps / (time.perf_counter() - t0))
     return best
 
