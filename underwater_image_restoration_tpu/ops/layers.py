@@ -11,6 +11,7 @@ Mixed precision: parameters are stored in ``param_dtype`` (f32) and cast to
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -27,6 +28,40 @@ def _pair(v) -> Tuple[int, int]:
     if isinstance(v, (tuple, list)):
         return (int(v[0]), int(v[1]))
     return (int(v), int(v))
+
+
+def _depthwise_shift_mac(x, kernel, ksize, padding, dtype):
+    """Depthwise (channel-multiplier-1) conv as kh*kw shifted multiply-adds.
+
+    Used for the stride-1 3x3 depthwise convs that every model runs
+    (reference SpectralTransformer.py:82 etc.).  Two reasons over
+    ``lax.conv_general_dilated(feature_group_count=C)``:
+
+    - XLA's grouped-conv GRADIENT blows up: the filter-grad conv of a
+      C-group conv is counted (and on some backends computed) densely —
+      cost_analysis shows fwd+bwd = ~40x fwd for the lax lowering, vs ~3x
+      for this formulation, whose autodiff is just shifted elementwise ops.
+    - A depthwise conv has no useful contraction for the MXU anyway
+      (I=1); kh*kw fused VPU FMAs over one padded array is the natural
+      TPU lowering and XLA fuses the accumulation chain.
+
+    Accumulates in f32 when computing in bf16 (like the MXU conv path
+    would), then casts back.  ``UIRT_DWCONV_LAX=1`` restores the lax path
+    for A/B comparison.
+    """
+    kh, kw = ksize
+    ph, pw = padding
+    _, h, w, _ = x.shape
+    acc_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    k = kernel.astype(dtype)  # (kh, kw, 1, C)
+    y = None
+    for dh in range(kh):
+        for dw in range(kw):
+            term = (xp[:, dh:dh + h, dw:dw + w, :] * k[dh, dw, 0]).astype(
+                acc_dtype)
+            y = term if y is None else y + term
+    return y.astype(dtype)
 
 
 class Conv2d(nn.Module):
@@ -61,14 +96,20 @@ class Conv2d(nn.Module):
         else:
             ph, pw = _pair(self.padding)
             pad = [(ph, ph), (pw, pw)]
-        y = lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(sh, sw),
-            padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-        )
+        if (self.groups == in_ch == self.features and self.groups > 1
+                and (sh, sw) == (1, 1) and not isinstance(pad, str)
+                and kh * kw <= 9 and not os.environ.get("UIRT_DWCONV_LAX")):
+            y = _depthwise_shift_mac(x, kernel, (kh, kw), (ph, pw),
+                                     self.dtype)
+        else:
+            y = lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(sh, sw),
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+            )
         if self.use_bias:
             fan_in = (in_ch // self.groups) * kh * kw
             bias = self.param(
