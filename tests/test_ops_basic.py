@@ -234,3 +234,29 @@ def test_spectral_upsample_gradient_finite_at_zero_input():
     assert np.isfinite(np.asarray(gx)).all()
     for leaf in jax.tree.leaves(gp):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_depthwise_shift_mac_matches_lax_conv(rng, monkeypatch):
+    """The shift-multiply-accumulate depthwise lowering must match the lax
+    grouped-conv lowering in forward AND gradients (it exists because the
+    lax filter-gradient lowering costs ~40x the forward in logical flops)."""
+    from underwater_image_restoration_tpu.ops.layers import Conv2d
+
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 6), np.float32))
+    m = Conv2d(6, 3, padding=1, groups=6)
+    params = m.init(jax.random.PRNGKey(0), x)
+
+    def run():
+        y = m.apply(params, x)
+        g = jax.grad(lambda p, z: float(0) + jnp.sum(
+            jnp.tanh(m.apply(p, z))), argnums=(0, 1))(params, x)
+        return y, g
+
+    y1, g1 = run()
+    monkeypatch.setenv("UIRT_DWCONV_LAX", "1")
+    y2, g2 = run()
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-4),
+        g1, g2)
