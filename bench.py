@@ -5,10 +5,17 @@ Workload = the README's canonical config (README.md:121): SpectralTransformer,
 L1withColor loss, 256^2 pairs — one fully fused jitted train step (uint8
 normalize + forward + loss + grad + global-norm clip + adam) in bf16 compute /
 f32 params, per-block remat (blocks AND the FFT UpS modules), batch 64,
-K=32 optimizer steps per dispatch (lax.scan; identical training semantics —
-the fixed ~5 ms host round-trip through the remote TPU tunnel otherwise
-bounds throughput at ~200 dispatches/s: bs64 flat ~12-14k img/s vs ~340k
-at K=32), single chip.
+K=32 optimizer steps per dispatch (lax.scan; identical training semantics,
+amortizing the ~5 ms per-dispatch enqueue round-trip of the remote TPU
+tunnel), single chip.
+
+Timing windows are closed by a HOST VALUE FETCH of the final loss (which
+data-depends, through state donation, on every step in the window) — NOT
+``block_until_ready``, which the remote-execution tunnel acknowledges at
+dispatch-ENQUEUE time.  Rounds 1-2 readings taken before this fix
+(BENCH_r01: 17.6k img/s) measured the enqueue rate and are not comparable;
+cost_analysis bounds this step at ~2.6e11 flops/img, i.e. a ~750 img/s
+ceiling at v5e MXU peak (PERF_NOTES.md "THE MEASUREMENT BUG").
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus
 "archs" with per-arch throughput for the rest of the model zoo and
@@ -152,6 +159,9 @@ def main():
         "baseline_note": "denominator is an unmeasured 40 img/s A100 "
                          "PyTorch ESTIMATE (the reference publishes no "
                          "throughput); vs_baseline >= 5 meets the north-star",
+        "timing_note": "windows closed by host value fetch (completion); "
+                       "BENCH_r01 used block_until_ready, which the remote "
+                       "tunnel acks at enqueue — not comparable",
         "archs": archs,
         "inference": infer,
     }))

@@ -1,0 +1,80 @@
+"""Honest re-measurement of every headline cell with the fixed harness.
+
+Rounds 1-2 numbers were enqueue-rate artifacts (PERF_NOTES.md "THE
+MEASUREMENT BUG"): block_until_ready through the axon tunnel acks the
+dispatch enqueue, so timing windows closed before the chip finished.
+benchlib now closes windows with a host value fetch; this script re-runs
+the cells all recorded claims were built on, plus the A/B cells the fix
+makes newly decidable:
+
+- K-steps-per-dispatch: with honest timing the expected win is the ~5 ms
+  enqueue per dispatch relative to the REAL step time (tens of ms), i.e.
+  10-30%, not 27x.
+- remat on/off: per-block remat recomputes the forward in the backward
+  (~+15% flops); with honest timing, a smaller no-remat batch may win.
+- shift-MAC vs lax depthwise conv (UIRT_DWCONV_LAX=1).
+
+Usage: python experiments/remeasure_honest.py  (on the TPU)
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CELLS = [
+    # (label, arch, kwargs, size, batch, K, env)
+    ("Spectral@256 bs64 K=1", "SpectralTransformer", {}, 256, 64, 1, {}),
+    ("Spectral@256 bs64 K=8", "SpectralTransformer", {}, 256, 64, 8, {}),
+    ("Spectral@256 bs64 K=32", "SpectralTransformer", {}, 256, 64, 32, {}),
+    ("Spectral@256 bs64 K=8 laxdw", "SpectralTransformer", {}, 256, 64, 8,
+     {"UIRT_DWCONV_LAX": "1"}),
+    ("Spectral@256 bs32 K=8 no-remat", "SpectralTransformer",
+     {"remat": False}, 256, 32, 8, {}),
+    ("Spectral@256 bs16 fflMix K=8", "SpectralTransformer",
+     {"lossf": "fflMix"}, 256, 16, 8, {}),
+    ("AST@256 bs32 K=8", "AST", {}, 256, 32, 8, {}),
+    ("NewModel-W@256 bs16 K=8", "NewModel", {"use_dwt": "Wavelet"}, 256, 16,
+     8, {}),
+    ("NewBigModel@512 bs4 K=8", "NewBigModel", {"use_dwt": "Wavelet"}, 512,
+     4, 8, {"UIRT_NO_PALLAS": "1"}),
+    ("Spectral@1024 bs1 K=8", "SpectralTransformer", {}, 1024, 1, 8, {}),
+]
+
+
+def main():
+    from underwater_image_restoration_tpu.train.benchlib import (
+        time_infer,
+        time_train_step,
+    )
+
+    for label, arch, kw, size, batch, k, env in CELLS:
+        saved = {e: os.environ.get(e) for e in env}
+        os.environ.update(env)
+        try:
+            r = time_train_step(arch, size, batch, steps=max(2 * k, 8),
+                                windows=2, n_batches=2, k_steps=k, **kw)
+            print(f"{label:32s} {r:9.1f} img/s", flush=True)
+        except Exception as e:
+            print(f"{label:32s} FAILED {type(e).__name__}: {str(e)[:90]}",
+                  flush=True)
+        finally:
+            for e, v in saved.items():
+                if v is None:
+                    os.environ.pop(e, None)
+                else:
+                    os.environ[e] = v
+
+    for ib in (256, 64):
+        try:
+            r = time_infer("SpectralTransformer", 256, ib, steps=8, windows=2)
+            print(f"{'infer Spectral@256 bs%d' % ib:32s} {r:9.1f} img/s",
+                  flush=True)
+            break
+        except Exception as e:
+            print(f"infer bs{ib} FAILED {type(e).__name__}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
