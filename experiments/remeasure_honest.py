@@ -34,7 +34,11 @@ CELLS = [
      {"remat": False}, 256, 32, 8, {}),
     ("Spectral@256 bs16 fflMix K=8", "SpectralTransformer",
      {"lossf": "fflMix"}, 256, 16, 8, {}),
+    # round-1's "Pallas == XLA end-to-end" verdict came from enqueue-rate
+    # timing — re-decide it honestly
     ("AST@256 bs32 K=8", "AST", {}, 256, 32, 8, {}),
+    ("AST@256 bs32 K=8 pallas", "AST", {}, 256, 32, 8,
+     {"UIRT_PALLAS": "1"}),
     ("NewModel-W@256 bs16 K=8", "NewModel", {"use_dwt": "Wavelet"}, 256, 16,
      8, {}),
     ("NewBigModel@512 bs4 K=8", "NewBigModel", {"use_dwt": "Wavelet"}, 512,
