@@ -57,7 +57,8 @@ def main():
         saved = {e: os.environ.get(e) for e in env}
         os.environ.update(env)
         try:
-            r = time_train_step(arch, size, batch, steps=max(2 * k, 8),
+            # `steps` = DISPATCHES per window; keep ~constant images/window
+            r = time_train_step(arch, size, batch, steps=max(2, 32 // k),
                                 windows=2, n_batches=2, k_steps=k, **kw)
             print(f"{label:32s} {r:9.1f} img/s", flush=True)
         except Exception as e:
