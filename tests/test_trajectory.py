@@ -219,3 +219,16 @@ def test_new_model_wavelet_trajectory_parity():
     _run_parity("NewModel", m, forward, size=128, n_steps=2,
                 init_kw=dict(img_size=128, embed_dim=8, drop_path_rate=0.0,
                              use_dwt="Wavelet"))
+
+
+def test_ast_trajectory_parity():
+    """AST: pins the window-attention (dense+sparse relu^2 mix), LeFF, and
+    rel-pos-bias gradient chain (reference AST.py:68-222,294-326) through
+    clip+Adam.  drop_path_rate=0: stochastic-depth draws can't be matched
+    across frameworks; attention/projection dropout default to 0 already."""
+    mod = ref_oracle.load_ast_module()
+    torch.manual_seed(0)
+    m = mod.AST(img_size=32, drop_path_rate=0.0)
+
+    _run_parity("AST", m, lambda mm, x: mm(x), size=32, n_steps=2,
+                init_kw=dict(img_size=32, drop_path_rate=0.0))
