@@ -1,11 +1,12 @@
 """Where does K-steps-per-dispatch saturate the chip?
 
-Round-2 finding (PERF_NOTES.md): one jit dispatch costs a fixed ~5 ms host
-round-trip through the axon tunnel, so `make_train_step(k_steps=K)` scans K
-full optimizer steps per dispatch.  At K=32 Spectral@256 bs64 reached ~342k
-img/s without plateauing — this sweep extends K until throughput stops
-scaling (i.e. the dispatch overhead is fully amortized and the number is
-the chip's real compute rate).
+NOTE: the "342k img/s at K=32, no plateau" reading that motivated this
+sweep predates the benchlib value-fetch fix and was an enqueue-rate
+artifact (PERF_NOTES.md "THE MEASUREMENT BUG").  With honest timing the
+expected K-curve is a modest latency amortization (~5 ms enqueue vs tens
+of ms of real step time) that flattens almost immediately — this sweep
+verifies that, and experiments/remeasure_honest.py carries the canonical
+cells.
 
 Usage: python experiments/ablate_k_plateau.py  (on the TPU)
 Prints img/s per (arch, batch, K) cell.

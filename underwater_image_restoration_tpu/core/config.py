@@ -104,10 +104,9 @@ class Config:
     steps_per_dispatch: int = 1   # FULL optimizer steps per device dispatch
     #                               (lax.scan over K stacked batches).  Bit-
     #                               identical training semantics; amortizes
-    #                               the fixed per-dispatch host round-trip
-    #                               (~5 ms through the remote TPU tunnel,
-    #                               which otherwise caps training at ~200
-    #                               optimizer steps/s regardless of batch)
+    #                               the fixed ~5 ms per-dispatch enqueue
+    #                               round-trip of the remote TPU tunnel
+    #                               relative to the real step time
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

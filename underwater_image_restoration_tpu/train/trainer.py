@@ -114,12 +114,12 @@ def make_train_step(
     stepping to XLA fusion-level f32 roundoff (~1e-6 — the scan body and
     the standalone step compile to slightly different fusions; pinned by
     test_k_steps_matches_sequential); it
-    exists because each dispatch to the device carries a fixed host
-    round-trip cost that dwarfs the on-chip step time for this workload
-    (measured ~5 ms through the remote-compile tunnel vs <1 ms of compute:
-    flat throughput saturates at ~200 dispatches/s regardless of batch
-    size).  Batching K optimizer steps per dispatch amortizes that latency
-    to 1/K.  Composes with grad_accum (inner scan)."""
+    exists because each dispatch to the device carries a fixed ~5 ms
+    enqueue round-trip through the remote tunnel; batching K optimizer
+    steps per dispatch amortizes that overhead to 1/K of the step time
+    (NOT 27x — the early "dispatch-bound" readings were enqueue-rate
+    artifacts, PERF_NOTES.md "THE MEASUREMENT BUG").  Composes with
+    grad_accum (inner scan)."""
     if grad_accum > 1 and not (lossfn.batch_linear or lossfn.bc_divided):
         raise ValueError(
             f"grad_accum={grad_accum} is not exact for loss "
