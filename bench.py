@@ -106,8 +106,45 @@ def _run_ladder(arch: str, size: int, ladder, *, windows: int,
     raise last_err
 
 
+def _probe_device(attempts: int = 3, timeout_s: int = 300) -> bool:
+    """Bounded subprocess probe of the device backend: the axon tunnel can
+    wedge for hours (backend init then blocks forever), and a bench that
+    hangs forever records nothing.  Probing in a subprocess keeps THIS
+    process's backend uninitialized until the tunnel answers."""
+    import subprocess
+
+    for i in range(attempts):
+        _note(f"device probe {i + 1}/{attempts} ...")
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            if res.returncode == 0 and res.stdout.strip():
+                _note(f"device probe ok: {res.stdout.strip().splitlines()[-1]}"
+                      " device(s)")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        _note("device probe failed")
+        time.sleep(30)
+    return False
+
+
 def main():
     from underwater_image_restoration_tpu.cli.main import enable_compile_cache
+
+    if not _probe_device():
+        print(json.dumps({
+            "metric": "UIEB 256^2 SpectralTransformer train-step throughput",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "error": "device backend unreachable (remote TPU tunnel wedged; "
+                     "probe timed out 3x300s)",
+        }))
+        return
 
     enable_compile_cache(os.path.join(
         os.path.expanduser("~"), ".cache", "uirt_xla"))
