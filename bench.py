@@ -128,7 +128,8 @@ def _probe_device(attempts: int = 3, timeout_s: int = 300) -> bool:
         except subprocess.TimeoutExpired:
             pass
         _note("device probe failed")
-        time.sleep(30)
+        if i < attempts - 1:
+            time.sleep(30)
     return False
 
 
@@ -146,8 +147,11 @@ def main():
         }))
         return
 
-    enable_compile_cache(os.path.join(
-        os.path.expanduser("~"), ".cache", "uirt_xla"))
+    from underwater_image_restoration_tpu.core.config import (
+        DEFAULT_COMPILE_CACHE,
+    )
+
+    enable_compile_cache(DEFAULT_COMPILE_CACHE)
     imgs_per_sec = _run_ladder(
         "SpectralTransformer", SIZE,
         ((64, 32), (64, 8), (64, 1), (32, 1), (8, 1)), windows=3)

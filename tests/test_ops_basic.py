@@ -195,6 +195,10 @@ def test_safe_complex_abs_angle_forward_and_zero_gradient(rng):
     z = (rng.standard_normal(16) + 1j * rng.standard_normal(16)).astype(
         np.complex64)
     z[3] = 0.0 + 0.0j
+    # signed-zero edges: angle(-0.0+0j) = pi, angle(0.0-0.0j) = -0.0 — a
+    # where-mask that tests re==0 & im==0 would return 0 for all of them
+    z[5] = np.complex64(complex(-0.0, 0.0))
+    z[7] = np.complex64(complex(0.0, -0.0))
     zj = jnp.asarray(z)
     # forward bit-identical to the unguarded jnp ops (angle(0)=0, abs(0)=0;
     # numpy's atan2 differs from XLA's in the last ulp, so compare in-JAX)
@@ -260,3 +264,12 @@ def test_depthwise_shift_mac_matches_lax_conv(rng, monkeypatch):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 atol=1e-4),
         g1, g2)
+    monkeypatch.delenv("UIRT_DWCONV_LAX")
+
+    # non-'same' integer padding must take the general lax path (the shift
+    # windows assume padded size H+kh-1): depthwise valid/over-padded convs
+    # keep torch output shapes
+    for pad, out_hw in ((0, 10), (2, 14)):
+        m2 = Conv2d(6, 3, padding=pad, groups=6)
+        p2 = m2.init(jax.random.PRNGKey(1), x)
+        assert m2.apply(p2, x).shape == (2, out_hw, out_hw, 6)

@@ -8,7 +8,8 @@ extensions grouped at the bottom.
 from __future__ import annotations
 
 import argparse
-import os
+
+from ..core.config import DEFAULT_COMPILE_CACHE
 
 
 def argument_parser() -> argparse.ArgumentParser:
@@ -163,8 +164,7 @@ def argument_parser() -> argparse.ArgumentParser:
                              "epochs stream zero-copy (the reference "
                              "re-decodes every epoch)")
     parser.add_argument("--compile-cache", type=str,
-                        default=os.path.join(
-                            os.path.expanduser("~"), ".cache", "uirt_xla"),
+                        default=DEFAULT_COMPILE_CACHE,
                         help="persistent XLA compilation-cache directory "
                              "(first compiles take 20-40 s through the "
                              "remote compile service; reruns of the same "

@@ -8,7 +8,13 @@ backed by a dataclass so that library users get a typed config and the CLI
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Sequence
+
+# Default persistent XLA compilation-cache dir (cli/args.py --compile-cache
+# default; bench.py uses the same so CLI runs and bench runs share entries).
+DEFAULT_COMPILE_CACHE = os.path.join(
+    os.path.expanduser("~"), ".cache", "uirt_xla")
 
 
 @dataclasses.dataclass
@@ -88,7 +94,7 @@ class Config:
     #                               from it (data/cache.py)
     compile_cache: str = ""       # persistent XLA compilation-cache dir
     #                               (cli/main.py enables it; empty = off —
-    #                               the CLI default is ~/.cache/uirt_xla)
+    #                               the CLI default is DEFAULT_COMPILE_CACHE)
     watch_freq: int = 100         # param/grad histogram cadence in steps
     #                               (reference wandb.watch log_freq=100,
     #                               wandb_logger.py:27); 0 disables

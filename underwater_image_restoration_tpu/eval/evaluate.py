@@ -107,25 +107,35 @@ def evaluate_pairs(model, params, test_raw_dir: str, test_ref_dir: str,
     from ..data import UIEBDataset
 
     ds = UIEBDataset(test_raw_dir, test_ref_dir, image_size)
-    apply_b, bs = _batched_apply(model, params,
-                                 min(batch_size, max(1, len(ds))))
-    refs = {}
 
-    def raws():
-        for i in range(len(ds)):
-            raw_u8, ref_u8 = ds[i]
-            refs[i] = ref_u8
-            yield raw_u8
+    def attempt(bs):
+        apply_b, bs = _batched_apply(model, params, min(bs, max(1, len(ds))))
+        refs = {}
 
-    psnrs = []
-    for i, y in _run_batched(raws(), len(ds), apply_b, bs):
-        ref = (refs.pop(i).astype(np.float32) / 255.0 - 0.5) / 0.5
-        save_img(y, os.path.join(out_pred, f"{i}.png"))
-        save_img(ref, os.path.join(out_ref, f"{i}.png"))
-        psnrs.append(psnr_float_pm1(ref, y))
-        if (i + 1) % batch_log == 0:
-            print(f"Processed {i + 1}/{len(ds)} test images")
-    psnrs = np.asarray(psnrs)
+        def raws():
+            for i in range(len(ds)):
+                raw_u8, ref_u8 = ds[i]
+                refs[i] = ref_u8
+                yield raw_u8
+
+        psnrs = []
+        for i, y in _run_batched(raws(), len(ds), apply_b, bs):
+            ref = (refs.pop(i).astype(np.float32) / 255.0 - 0.5) / 0.5
+            save_img(y, os.path.join(out_pred, f"{i}.png"))
+            save_img(ref, os.path.join(out_ref, f"{i}.png"))
+            psnrs.append(psnr_float_pm1(ref, y))
+            if (i + 1) % batch_log == 0:
+                print(f"Processed {i + 1}/{len(ds)} test images")
+        return np.asarray(psnrs)
+
+    try:
+        psnrs = attempt(batch_size)
+    except Exception as e:  # bsN graph OOMs the chip or the compile host
+        if batch_size <= 1:
+            raise
+        print(f"batch={batch_size} failed ({type(e).__name__}); "
+              f"retrying with batch=1")
+        psnrs = attempt(1)
     print("Evaluation Results:")
     print(f"Average PSNR: {psnrs.mean():.2f} dB")
     return psnrs
@@ -139,10 +149,21 @@ def infer_directory(model, params, input_dir: str, out_dir: str,
                    if f.lower().endswith(exts))
     if not files:
         return 0
-    apply_b, bs = _batched_apply(model, params, min(batch_size, len(files)))
-    u8s = (_load_u8(os.path.join(input_dir, f), size) for f in files)
-    for idx, y in _run_batched(u8s, len(files), apply_b, bs):
-        save_img(y, os.path.join(out_dir, f"{idx}.png"))
+
+    def attempt(bs):
+        apply_b, bs = _batched_apply(model, params, min(bs, len(files)))
+        u8s = (_load_u8(os.path.join(input_dir, f), size) for f in files)
+        for idx, y in _run_batched(u8s, len(files), apply_b, bs):
+            save_img(y, os.path.join(out_dir, f"{idx}.png"))
+
+    try:
+        attempt(batch_size)
+    except Exception as e:
+        if batch_size <= 1:
+            raise
+        print(f"batch={batch_size} failed ({type(e).__name__}); "
+              f"retrying with batch=1")
+        attempt(1)
     return len(files)
 
 

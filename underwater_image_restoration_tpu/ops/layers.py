@@ -98,7 +98,10 @@ class Conv2d(nn.Module):
             pad = [(ph, ph), (pw, pw)]
         if (self.groups == in_ch == self.features and self.groups > 1
                 and (sh, sw) == (1, 1) and not isinstance(pad, str)
+                and 2 * pad[0][0] == kh - 1 and 2 * pad[1][0] == kw - 1
                 and kh * kw <= 9 and not os.environ.get("UIRT_DWCONV_LAX")):
+            # same-padding only: the slice windows below assume the padded
+            # map is exactly (H+kh-1, W+kw-1)
             y = _depthwise_shift_mac(x, kernel, (kh, kw), (ph, pw),
                                      self.dtype)
         else:

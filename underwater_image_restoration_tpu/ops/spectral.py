@@ -9,6 +9,7 @@ itself (models/new_model.py) since it is not a spatial transform.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -33,13 +34,36 @@ def safe_abs(f):
     return jnp.where(zero, jnp.zeros((), jnp.real(f).dtype), jnp.abs(f_))
 
 
+@jax.custom_vjp
+def _safe_atan2(im, re):
+    return jnp.arctan2(im, re)
+
+
+def _safe_atan2_fwd(im, re):
+    return jnp.arctan2(im, re), (im, re)
+
+
+def _safe_atan2_bwd(res, g):
+    im, re = res
+    d = re * re + im * im
+    zero = d == 0
+    d = jnp.where(zero, jnp.ones((), d.dtype), d)
+    return (jnp.where(zero, 0, re / d) * g,
+            jnp.where(zero, 0, -im / d) * g)
+
+
+_safe_atan2.defvjp(_safe_atan2_fwd, _safe_atan2_bwd)
+
+
 def safe_angle(f):
-    """angle(f) with a zero gradient at f == 0 (gradient is
-    (-im, re)/|f|^2 — NaN at zero bins; numpy/torch both define
-    angle(0) = 0 so the forward is bit-identical)."""
-    zero = (jnp.real(f) == 0) & (jnp.imag(f) == 0)
-    f_ = jnp.where(zero, jnp.ones((), f.dtype), f)
-    return jnp.where(zero, jnp.zeros((), jnp.real(f).dtype), jnp.angle(f_))
+    """angle(f) with a zero gradient at f == 0 (the analytic gradient
+    (-im, re)/|f|^2 is NaN at zero bins; torch's subgradient there is 0).
+
+    Forward is ``arctan2(im, re)`` — EXACTLY ``jnp.angle``, including the
+    signed-zero edges (angle(-0.0+0j) = pi, not 0: a where-mask substitution
+    would get that wrong because -0.0 == 0 is true).  Only the VJP is
+    replaced, zeroing the cotangent where |f| == 0."""
+    return _safe_atan2(jnp.imag(f), jnp.real(f))
 
 
 def ifft2(x):
