@@ -149,6 +149,13 @@ def argument_parser() -> argparse.ArgumentParser:
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize the forward pass in backward "
                              "(jax.checkpoint) to fit large resolutions")
+    parser.add_argument("--remat-policy", type=str, default="",
+                        choices=["", "full", "mxu", "dots"],
+                        help="activation-checkpoint policy with --remat: "
+                             "''/'full' recomputes whole blocks (+~18%% "
+                             "flops, max HBM savings); 'mxu' saves dot/conv/"
+                             "FFT outputs and recomputes only elementwise "
+                             "ops; 'dots' saves non-batch matmuls")
     parser.add_argument("--no-pallas", action="store_true",
                         help="disable the fused Pallas attention kernels "
                              "(sets UIRT_NO_PALLAS=1); the pure-XLA path is "

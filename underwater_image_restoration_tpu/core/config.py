@@ -85,6 +85,9 @@ class Config:
     compute_dtype: str = "bfloat16"   # bf16 compute / f32 params
     param_dtype: str = "float32"
     remat: bool = False           # jax.checkpoint the per-level blocks
+    remat_policy: str = ""        # ""=recompute all; "mxu"=save dot/conv/FFT
+    #                               outputs, recompute elementwise only;
+    #                               "dots"=save non-batch matmuls
     checkpoint_dir: str = "checkpoints"
     jsonl_metrics: bool = True    # JSONL metric sink alongside/instead of wandb
     profile_dir: str = ""         # when set, jax.profiler traces land here

@@ -35,6 +35,7 @@ from ..ops import (
     DropPath,
     LayerNorm,
     leaky_relu,
+    make_remat,
     shift_window_mask,
     window_partition,
     window_reverse,
@@ -193,6 +194,7 @@ class BasicASTLayer(nn.Module):
     dtype: object = jnp.float32
     remat: bool = False  # per-block remat (the reference's dormant
     #                      use_checkpoint hook, AST.py:673-676, made real)
+    remat_policy: object = None  # ops.layers.REMAT_POLICIES name
     mesh: object = None
 
     @nn.compact
@@ -200,7 +202,7 @@ class BasicASTLayer(nn.Module):
         def apply_block(block, y):
             return block(y, deterministic=deterministic)
 
-        apply_fn = nn.remat(apply_block) if self.remat else apply_block
+        apply_fn = make_remat(self.remat, self.remat_policy)(apply_block)
         for i in range(self.depth):
             shift = (self.win_size // 2) if (self.shift_flag and i % 2 == 1) else 0
             dp = self.drop_path[i] if i < len(self.drop_path) else self.drop_path[-1]
@@ -231,6 +233,7 @@ class AST(nn.Module):
     shift_flag: bool = True
     dtype: object = jnp.float32
     remat: bool = False
+    remat_policy: object = None  # ops.layers.REMAT_POLICIES name
     mesh: object = None  # ('data','context') mesh enables context parallelism
 
     @nn.compact
@@ -247,7 +250,7 @@ class AST(nn.Module):
                 win_size=self.win_size, drop_path=tuple(dpr),
                 token_mlp=self.token_mlp, shift_flag=self.shift_flag, att=att,
                 sparse_att=sparse, dtype=self.dtype, remat=self.remat,
-                mesh=self.mesh, name=name,
+                remat_policy=self.remat_policy, mesh=self.mesh, name=name,
             )(y, deterministic=deterministic)
 
         y = ASTInputProj(e, dtype=self.dtype, name="input_proj")(x.astype(self.dtype))

@@ -32,7 +32,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import DropPath, LayerNorm, Dense, dwt2d, idwt2d
+from ..ops import DropPath, LayerNorm, Dense, dwt2d, idwt2d, make_remat
 from ..ops.resample import image_to_tokens, tokens_to_image
 from .blocks import (
     Downsample,
@@ -174,6 +174,7 @@ class _NewFamilyBase(nn.Module):
     blocks_per_level: int = 1
     dtype: object = jnp.float32
     remat: bool = False  # per-block rematerialization for HBM headroom
+    remat_policy: object = None  # ops.layers.REMAT_POLICIES name
     # context-parallel mesh.  The decoders' MDASSA (rolls/window attention/
     # FDFP FFTs) is CP-routed; the encoders' Fourier quirk FFTs over the
     # (L, C) *token* axes (reference model.py:72) — not a spatial transform,
@@ -193,9 +194,9 @@ class _NewFamilyBase(nn.Module):
         def apply2(block, y, skip):
             return block(y, enc_out=skip, deterministic=deterministic)
 
-        if self.remat:
-            apply1 = nn.remat(apply1)
-            apply2 = nn.remat(apply2)
+        rt = make_remat(self.remat, self.remat_policy)
+        apply1 = rt(apply1)
+        apply2 = rt(apply2)
 
         def enc(y, level, dim):
             y = apply1(EncoderBlock(

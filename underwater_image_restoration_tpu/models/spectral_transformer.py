@@ -38,6 +38,7 @@ from ..ops import (
     gelu,
     l2_normalize,
     leaky_relu,
+    make_remat,
     pixel_shuffle,
     pixel_unshuffle,
 )
@@ -319,6 +320,10 @@ class SpectralTransformer(nn.Module):
     # instead of storing its activations — realizes the reference's dormant
     # use_checkpoint hook (AST.py:673-676) and fits large res/batch in HBM
     remat: bool = False
+    # activation-checkpoint policy when remat=True (ops.layers.REMAT_POLICIES):
+    # None recomputes the whole block (+~18% flops); "mxu" saves dot/conv/FFT
+    # outputs and recomputes only elementwise ops
+    remat_policy: object = None
     mesh: object = None  # ('data','context') mesh enables context parallelism
 
     @nn.compact
@@ -329,8 +334,9 @@ class SpectralTransformer(nn.Module):
         # full-resolution FFT intermediates (e.g. 2x-tiled 1024^2 spectra)
         # which otherwise dominate backward HBM at the reference's 1024^2
         # train resolution
-        block_cls = nn.remat(SpectralBlock) if self.remat else SpectralBlock
-        ups_cls = nn.remat(UpS) if self.remat else UpS
+        rt = make_remat(self.remat, self.remat_policy)
+        block_cls = rt(SpectralBlock)
+        ups_cls = rt(UpS)
 
         def stage(y, n, c, heads, name):
             for i in range(n):

@@ -6,6 +6,7 @@ from .layers import (
     gelu,
     l2_normalize,
     leaky_relu,
+    make_remat,
 )
 from .droppath import DropPath
 from .resample import (
@@ -41,6 +42,7 @@ __all__ = [
     "gelu",
     "l2_normalize",
     "leaky_relu",
+    "make_remat",
     "DropPath",
     "image_to_tokens",
     "pixel_shuffle",

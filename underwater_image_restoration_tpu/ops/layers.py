@@ -219,6 +219,69 @@ def leaky_relu(x, negative_slope: float = 0.01):
     return jax.nn.leaky_relu(x, negative_slope)
 
 
+def _mxu_saveable(prim, *avals, **params) -> bool:
+    """jax.checkpoint policy: save every MXU/FFT output, recompute only
+    elementwise ops in the backward pass.
+
+    Plain per-block remat recomputes the whole forward — measured +17.9%
+    train-step flops on SpectralTransformer@256 (PERF_NOTES.md).  On a
+    flop-bound chip that recompute is the most expensive part of the block;
+    the *memory* win of remat comes mostly from not storing the swarm of
+    fused elementwise intermediates (gelu/norm/complex temporaries), which
+    are nearly free to recompute on the VPU.  Saving dot/conv/FFT outputs
+    keeps the backward off the MXU while still dropping those temporaries.
+
+    Complex-valued residuals must NOT be saved: jax's residual plumbing
+    tags each saved value with ``lax.reduce_precision`` (ad_checkpoint.py
+    _insert_reduce_precision, guarding on ``np.inexact`` which complex
+    passes), and reduce_precision rejects complex dtypes — saving a
+    complex64 FFT output is a TypeError at trace time in jax 0.9.  So
+    complex FFTs are recomputed (VPU-ish cost, acceptable) and only the
+    real-output inverse-real FFT is saved.
+    """
+    name = getattr(prim, "name", "")
+    if name in ("dot_general", "conv_general_dilated"):
+        return not any(
+            jnp.issubdtype(getattr(a, "dtype", jnp.float32),
+                           jnp.complexfloating) for a in avals)
+    if name == "fft":
+        return str(params.get("fft_type", "")).endswith("IRFFT")
+    return False
+
+
+# Named activation-checkpoint policies for model ``remat_policy`` fields.
+# None/"full": recompute everything (max HBM savings, +~18% flops);
+# "mxu": save matmul/conv/FFT outputs, recompute elementwise only
+# (near-zero extra MXU flops, intermediate HBM savings);
+# "dots": save only non-batch matmuls (weight matmuls), recompute
+# attention matmuls/convs/FFTs (between the other two).
+REMAT_POLICIES = {
+    None: None,
+    "full": None,
+    "mxu": _mxu_saveable,
+    "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+}
+
+
+def make_remat(remat: bool, policy: Optional[str] = None):
+    """Return the remat transform models wrap their blocks with.
+
+    ``make_remat(False)`` is the identity; otherwise ``nn.remat`` with the
+    named policy from ``REMAT_POLICIES`` (see there for the trade-offs).
+    Works on both flax Module classes and plain functions, matching the
+    two styles the model zoo uses.
+    """
+    if not remat:
+        return lambda target: target
+    if policy not in REMAT_POLICIES:
+        raise ValueError(
+            f"Unknown remat policy {policy!r}; one of {list(REMAT_POLICIES)}")
+    pol = REMAT_POLICIES[policy]
+    if pol is None:
+        return nn.remat
+    return lambda target: nn.remat(target, policy=pol)
+
+
 def l2_normalize(x, axis=-1, eps: float = 1e-12):
     """F.normalize(x, dim=axis): x / max(||x||_2, eps).
 

@@ -43,7 +43,7 @@ class TrainStepBench:
 
     def __init__(self, arch: str, size: int, batch: int, *,
                  lossf: str = "L1withColor", lr: float = 3e-4,
-                 remat: bool = True, dtype=jnp.bfloat16,
+                 remat: bool = True, remat_policy=None, dtype=jnp.bfloat16,
                  n_batches: int = 1, grad_accum: int = 1,
                  k_steps: int = 1, **model_kw):
         from underwater_image_restoration_tpu.data import synthetic_pair_batch
@@ -55,7 +55,8 @@ class TrainStepBench:
 
         self.batch = batch * k_steps  # images consumed per dispatch
         self.k_steps = k_steps
-        model = init_model(arch, dtype=dtype, remat=remat, img_size=size,
+        model = init_model(arch, dtype=dtype, remat=remat,
+                           remat_policy=remat_policy, img_size=size,
                            **model_kw)
         params = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3),
@@ -170,12 +171,13 @@ def time_infer(arch: str, size: int, batch: int, *,
 def time_train_step(arch: str, size: int, batch: int, *,
                     steps: int = 20, windows: int = 3, warmup: int = 3,
                     n_batches: int = 1, lossf: str = "L1withColor",
-                    remat: bool = True, dtype=jnp.bfloat16,
+                    remat: bool = True, remat_policy=None, dtype=jnp.bfloat16,
                     grad_accum: int = 1, k_steps: int = 1,
                     **model_kw) -> float:
     """One-call wrapper: best-of-windows train-step throughput (img/s)."""
     bench = TrainStepBench(arch, size, batch, lossf=lossf, remat=remat,
-                           dtype=dtype, n_batches=n_batches,
+                           remat_policy=remat_policy, dtype=dtype,
+                           n_batches=n_batches,
                            grad_accum=grad_accum, k_steps=k_steps,
                            **model_kw)
     return bench.best_throughput(steps=steps, windows=windows, warmup=warmup)

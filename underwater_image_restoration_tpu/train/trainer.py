@@ -372,7 +372,9 @@ class ModelTrainer:
                 f"train_batch_size={cfg.train_batch_size} not divisible by "
                 f"grad_accum*data-parallel = {cfg.grad_accum}*{n_data}")
         model = init_model(arch, use_dwt=cfg.use_dwt, dtype=_compute_dtype(cfg),
-                           remat=cfg.remat, img_size=cfg.image_size,
+                           remat=cfg.remat,
+                           remat_policy=cfg.remat_policy or None,
+                           img_size=cfg.image_size,
                            mesh=mesh if n_ctx > 1 else None)
         rng = jax.random.PRNGKey(cfg.seed)
         sample = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
