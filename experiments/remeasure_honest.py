@@ -32,6 +32,13 @@ CELLS = [
      {"UIRT_DWCONV_LAX": "1"}),
     ("Spectral@256 bs32 K=8 no-remat", "SpectralTransformer",
      {"remat": False}, 256, 32, 8, {}),
+    # remat_policy="mxu" saves dot/conv/FFT outputs: ~remat=False flops with
+    # most of remat's HBM savings.  A/B at the same batch, and at the
+    # largest batch that fits (the policy stores more than full remat).
+    ("Spectral@256 bs64 K=8 pol=mxu", "SpectralTransformer",
+     {"remat_policy": "mxu"}, 256, 64, 8, {}),
+    ("Spectral@256 bs32 K=8 pol=mxu", "SpectralTransformer",
+     {"remat_policy": "mxu"}, 256, 32, 8, {}),
     ("Spectral@256 bs16 fflMix K=8", "SpectralTransformer",
      {"lossf": "fflMix"}, 256, 16, 8, {}),
     # round-1's "Pallas == XLA end-to-end" verdict came from enqueue-rate
