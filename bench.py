@@ -62,19 +62,27 @@ A100_PYTORCH_EST_IMG_PER_SEC = 40.0  # see module docstring
 # steps/s regardless of batch size (PERF_NOTES.md round-2); K full
 # optimizer steps per dispatch amortize it with identical training
 # semantics.  Ladders fall back to smaller (batch, K) on OOM.
+#
+# Ladder cells are (batch, k_steps) or (batch, k_steps, remat_policy).
+# remat_policy="mxu" saves dot/conv/FFT outputs instead of recomputing the
+# whole block in the backward: measured -10.8% train-step flops vs full
+# remat (PERF_NOTES.md), at the cost of more residual HBM — so each ladder
+# tries the sweet-spot batch with "mxu" first and falls back to full remat
+# at the same batch if the residuals don't fit.
 ZOO = [
-    # (label, arch, kwargs, size, (batch, k_steps) ladder, windows, no_pallas)
-    ("AST@256", "AST", {}, 256, ((32, 16), (32, 4), (32, 1), (8, 1)), 2,
-     False),
+    # (label, arch, kwargs, size, ladder, windows, no_pallas)
+    ("AST@256", "AST", {}, 256,
+     ((32, 16, "mxu"), (32, 16), (32, 4), (32, 1), (8, 1)), 2, False),
     ("NewModel-Wavelet@256", "NewModel", {"use_dwt": "Wavelet"}, 256,
-     ((16, 16), (16, 4), (16, 1), (4, 1)), 2, False),
+     ((16, 16, "mxu"), (16, 16), (16, 4), (16, 1), (4, 1)), 2, False),
     ("NewBigModel@512", "NewBigModel", {"use_dwt": "Wavelet"}, 512,
-     ((4, 16), (4, 4), (4, 1), (1, 1)), 2, True),
+     ((4, 16, "mxu"), (4, 16), (4, 4), (4, 1), (1, 1)), 2, True),
 ]
 
 
 def _run(arch: str, size: int, batch: int, *, windows: int = 3,
-         steps: int = STEPS, k_steps: int = 1, **model_kw) -> float:
+         steps: int = STEPS, k_steps: int = 1, remat_policy=None,
+         **model_kw) -> float:
     from underwater_image_restoration_tpu.train.benchlib import (
         time_train_step,
     )
@@ -83,25 +91,30 @@ def _run(arch: str, size: int, batch: int, *, windows: int = 3,
     n_disp = max(2, steps // k_steps)
     return time_train_step(arch, size, batch, steps=n_disp, windows=windows,
                            warmup=WARMUP, n_batches=2, k_steps=k_steps,
-                           **model_kw)
+                           remat_policy=remat_policy, **model_kw)
 
 
 def _run_ladder(arch: str, size: int, ladder, *, windows: int,
                 steps: int = STEPS, **model_kw):
-    """Try (batch, k_steps) cells largest-first: another tenant's HBM use
-    can OOM the sweet spot, so fall back rather than fail the bench."""
+    """Try (batch, k_steps[, remat_policy]) cells best-first: another
+    tenant's HBM use can OOM the sweet spot, so fall back rather than fail
+    the bench."""
     last_err = None
     for cell in ladder:
-        batch, k = cell if isinstance(cell, tuple) else (cell, 1)
-        _note(f"{arch}@{size} batch={batch} K={k} ...")
+        if not isinstance(cell, tuple):
+            cell = (cell, 1)
+        batch, k = cell[0], cell[1]
+        pol = cell[2] if len(cell) > 2 else None
+        tag = f"{arch}@{size} batch={batch} K={k}" + (
+            f" pol={pol}" if pol else "")
+        _note(f"{tag} ...")
         try:
             r = _run(arch, size, batch, windows=windows, steps=steps,
-                     k_steps=k, **model_kw)
-            _note(f"{arch}@{size} batch={batch} K={k} -> {r:.1f} img/s")
+                     k_steps=k, remat_policy=pol, **model_kw)
+            _note(f"{tag} -> {r:.1f} img/s")
             return r
         except Exception as e:  # XlaRuntimeError: RESOURCE_EXHAUSTED etc.
-            _note(f"{arch}@{size} batch={batch} K={k} failed: "
-                  f"{type(e).__name__}")
+            _note(f"{tag} failed: {type(e).__name__}")
             last_err = e
     raise last_err
 
@@ -154,7 +167,8 @@ def main():
     enable_compile_cache(DEFAULT_COMPILE_CACHE)
     imgs_per_sec = _run_ladder(
         "SpectralTransformer", SIZE,
-        ((64, 32), (64, 8), (64, 1), (32, 1), (8, 1)), windows=3)
+        ((64, 32, "mxu"), (64, 32), (64, 8), (64, 1), (32, 1), (8, 1)),
+        windows=3)
 
     archs = {}
     for label, arch, kw, size, ladder, windows, no_pallas in ZOO:
