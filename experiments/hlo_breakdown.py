@@ -122,7 +122,39 @@ def fft_flops(line):
     return int(5 * n * math.log2(max(n, 2)) * batch)
 
 
-def breakdown(hlo):
+# elementwise opcodes counted as 1 flop/element (XLA's own cost model
+# weights transcendentals differently per backend; this is an attribution
+# tool, not an exact re-derivation of cost_analysis)
+EW_OPS = (
+    "add", "subtract", "multiply", "divide", "exponential", "log", "rsqrt",
+    "sqrt", "power", "maximum", "minimum", "tanh", "negate", "abs", "sign",
+    "floor", "ceil", "cosine", "sine", "atan2", "expm1", "log1p",
+    "logistic", "cbrt", "round-nearest-even", "remainder",
+)
+EW_RE = re.compile(r" (" + "|".join(EW_OPS) + r")\(")
+OPNAME_RE = re.compile(r'op_name="([^"]*)"')
+# flax module path inside the op_name, e.g. ".../LeFF_0/Dense_1/..." —
+# take the meaningful tail: last two /segments before the primitive name
+MODULE_RE = re.compile(r"/([\w.]+)/([\w.]+)$")
+
+
+def _module_key(line):
+    m = OPNAME_RE.search(line)
+    if not m:
+        return "(no op_name)"
+    path = m.group(1)
+    # strip the jit(...)/jvp(...)/transpose(...) wrappers' leading segments
+    segs = [s for s in path.split("/")
+            if not (s.startswith(("jit(", "jvp(", "transpose(", "remat",
+                                  "checkpoint", "while", "body", "cond",
+                                  "named(")) or s in ("step",))]
+    if not segs:
+        return path[-60:]
+    # keep up to the last 3 segments for locality without explosion
+    return "/".join(segs[-3:])
+
+
+def breakdown(hlo, with_elementwise=False):
     sym = {}
     for line in hlo.splitlines():
         m = DEF_RE.match(line)
@@ -131,24 +163,68 @@ def breakdown(hlo):
                 m.group(2), [int(d) for d in m.group(3).split(",") if d])
 
     cat = defaultdict(int)
+    by_module = defaultdict(int)
     top = []
+    unresolved = 0
     for line in hlo.splitlines():
         s = line.strip()
         if " = " not in s:
             continue
+        f = None
+        kind = None
         if " dot(" in s:
             f = dot_flops(s, sym)
-            cat["dot"] += f
-            top.append((f, "dot", s[:160]))
+            kind = "dot"
+            if f == 0:
+                unresolved += 1
         elif " convolution(" in s:
             f = conv_flops(s, sym)
-            cat["convolution"] += f
-            top.append((f, "conv", s[:160]))
+            kind = "conv"
+            if f == 0:
+                unresolved += 1
         elif " fft(" in s:
             f = fft_flops(s)
-            cat["fft"] += f
-            top.append((f, "fft", s[:160]))
-    return cat, top
+            kind = "fft"
+        elif with_elementwise and EW_RE.search(s):
+            _, dims = _out_dims(s)
+            if dims is not None:
+                f = math.prod(dims)
+                kind = "elementwise"
+        if f is None:
+            continue
+        cat["convolution" if kind == "conv" else kind] += f
+        by_module[(kind, _module_key(s))] += f
+        if kind != "elementwise":
+            top.append((f, kind, s[:160]))
+    return cat, top, by_module, unresolved
+
+
+def compile_cached(arch, size, batch, **kw):
+    """Compile the fused train step on CPU and cache (HLO text, total
+    cost_analysis flops) under /tmp — CPU compiles of 256² steps take
+    minutes, re-analysis should not."""
+    import os
+
+    cache = f"/tmp/hlo_cache_{arch}_{size}_{batch}.txt"
+    if os.path.exists(cache) and os.path.exists(cache + ".flops"):
+        return open(cache).read(), float(open(cache + ".flops").read())
+    from underwater_image_restoration_tpu.train.benchlib import (
+        TrainStepBench,
+    )
+
+    b = TrainStepBench(arch, size, batch, **kw)
+    raw, ref = b.batches[0]
+    compiled = b.step.lower(b.state, raw, ref, b.rng).compile()
+    hlo = compiled.as_text()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    agg = float(ca.get("flops", 0))
+    with open(cache, "w") as f:
+        f.write(hlo)
+    with open(cache + ".flops", "w") as f:
+        f.write(str(agg))
+    return hlo, agg
 
 
 def main():
@@ -159,28 +235,24 @@ def main():
     if arch.startswith("New"):
         kw["use_dwt"] = "Wavelet"
 
-    from underwater_image_restoration_tpu.train.benchlib import TrainStepBench
+    hlo, agg = compile_cached(arch, size, batch, **kw)
 
-    b = TrainStepBench(arch, size, batch, **kw)
-    raw, ref = b.batches[0]
-    compiled = b.step.lower(b.state, raw, ref, b.rng).compile()
-    hlo = compiled.as_text()
-
-    cat, top = breakdown(hlo)
+    cat, top, by_module, unresolved = breakdown(hlo, with_elementwise=True)
     total = sum(cat.values())
-    print(f"== {arch}@{size} bs{batch} train step — MXU/FFT flop skeleton ==")
-    ca = compiled.cost_analysis()
-    if isinstance(ca, list):
-        ca = ca[0]
-    agg = float(ca.get("flops", 0))
+    print(f"== {arch}@{size} bs{batch} train step — flop attribution ==")
     print(f"cost_analysis total: {agg / batch / 1e9:.1f} GFLOP/img; "
-          f"skeleton counted:   {total / batch / 1e9:.1f} GFLOP/img")
+          f"attributed:   {total / batch / 1e9:.1f} GFLOP/img"
+          f" ({unresolved} dot/conv with unresolved operand shapes)")
     for k, v in sorted(cat.items(), key=lambda kv: -kv[1]):
         print(f"  {k:12s} {v / batch / 1e9:10.1f} GFLOP/img "
-              f"({100 * v / max(total, 1):.0f}% of skeleton)")
-    print("-- top 20 instructions --")
+              f"({100 * v / max(total, 1):.0f}% of attributed)")
+    print("-- top 20 MXU/FFT instructions --")
     for f, k, s in sorted(top, reverse=True)[:20]:
         print(f"  {f / batch / 1e9:8.2f} GFLOP/img [{k}] {s}")
+    print("-- top 25 module groups --")
+    groups = sorted(by_module.items(), key=lambda kv: -kv[1])[:25]
+    for (kind, mod), v in groups:
+        print(f"  {v / batch / 1e9:8.2f} GFLOP/img [{kind:11s}] {mod}")
 
 
 if __name__ == "__main__":

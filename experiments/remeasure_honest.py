@@ -46,6 +46,11 @@ CELLS = [
     ("AST@256 bs32 K=8", "AST", {}, 256, 32, 8, {}),
     ("AST@256 bs32 K=8 pallas", "AST", {}, 256, 32, 8,
      {"UIRT_PALLAS": "1"}),
+    # exact-GELU erf is a large VPU cost in the flop attribution
+    # (hlo_breakdown: AST mlp/erfc 124 GFLOP/img on the CPU lowering);
+    # tanh-approx A/B decides whether erf matters on the TPU VPU
+    ("AST@256 bs32 K=8 fastgelu", "AST", {}, 256, 32, 8,
+     {"UIRT_FAST_GELU": "1"}),
     ("NewModel-W@256 bs16 K=8", "NewModel", {"use_dwt": "Wavelet"}, 256, 16,
      8, {}),
     ("NewBigModel@512 bs4 K=8", "NewBigModel", {"use_dwt": "Wavelet"}, 512,

@@ -273,3 +273,22 @@ def test_depthwise_shift_mac_matches_lax_conv(rng, monkeypatch):
         m2 = Conv2d(6, 3, padding=pad, groups=6)
         p2 = m2.init(jax.random.PRNGKey(1), x)
         assert m2.apply(p2, x).shape == (2, out_hw, out_hw, 6)
+
+
+def test_fast_gelu_env_knob(monkeypatch):
+    """Default gelu is exact erf (torch nn.GELU parity); UIRT_FAST_GELU=1
+    swaps the tanh approximation (on-hardware VPU A/B only) with bounded
+    divergence."""
+    from underwater_image_restoration_tpu.ops.layers import gelu
+
+    x = jnp.linspace(-4.0, 4.0, 101, dtype=jnp.float32)
+    exact = np.asarray(gelu(x))
+    np.testing.assert_allclose(
+        exact, np.asarray(jax.nn.gelu(x, approximate=False)), atol=0)
+    monkeypatch.setenv("UIRT_FAST_GELU", "1")
+    fast = np.asarray(gelu(x))
+    monkeypatch.delenv("UIRT_FAST_GELU")
+    np.testing.assert_allclose(
+        fast, np.asarray(jax.nn.gelu(x, approximate=True)), atol=0)
+    assert np.max(np.abs(fast - exact)) < 2e-3
+    assert np.max(np.abs(fast - exact)) > 0  # the knob actually switches

@@ -211,7 +211,15 @@ class LayerNorm(nn.Module):
 
 
 def gelu(x):
-    """Exact (erf) GELU — torch nn.GELU default."""
+    """Exact (erf) GELU — torch nn.GELU default (reference model.py:19,
+    AST.py uses nn.GELU too), so exact erf is the parity default.
+
+    ``UIRT_FAST_GELU=1`` swaps in the tanh approximation (~1e-3 abs
+    divergence) as an on-hardware A/B for the VPU cost of erf — never use
+    it with converted checkpoints or parity tests.
+    """
+    if os.environ.get("UIRT_FAST_GELU"):
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 
