@@ -42,6 +42,7 @@ def main():
         ("remat=False", {"remat": False}),
         ("remat policy=None", {"remat": True}),
         ("remat policy=mxu", {"remat": True, "remat_policy": "mxu"}),
+        ("remat policy=mxu+ew", {"remat": True, "remat_policy": "mxu+ew"}),
         ("remat policy=dots", {"remat": True, "remat_policy": "dots"}),
     ]
     for label, rkw in cells:

@@ -30,7 +30,7 @@ def test_remat_preserves_values_and_grads(arch, kw):
                                    atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("policy", ["mxu", "dots"])
+@pytest.mark.parametrize("policy", ["mxu", "mxu+ew", "dots"])
 def test_remat_policy_preserves_values_and_grads(policy):
     """Named checkpoint policies change WHAT the backward recomputes, never
     the math: values and grads must match plain remat bit-for-bit (same

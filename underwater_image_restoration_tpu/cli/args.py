@@ -150,12 +150,14 @@ def argument_parser() -> argparse.ArgumentParser:
                         help="rematerialize the forward pass in backward "
                              "(jax.checkpoint) to fit large resolutions")
     parser.add_argument("--remat-policy", type=str, default="",
-                        choices=["", "full", "mxu", "dots"],
+                        choices=["", "full", "mxu", "mxu+ew", "dots"],
                         help="activation-checkpoint policy with --remat: "
                              "''/'full' recomputes whole blocks (+~18%% "
                              "flops, max HBM savings); 'mxu' saves dot/conv/"
                              "FFT outputs and recomputes only elementwise "
-                             "ops; 'dots' saves non-batch matmuls")
+                             "ops; 'mxu+ew' also saves tagged expensive "
+                             "elementwise (dwconv/gelu) outputs; 'dots' "
+                             "saves non-batch matmuls")
     parser.add_argument("--no-pallas", action="store_true",
                         help="disable the fused Pallas attention kernels "
                              "(sets UIRT_NO_PALLAS=1); the pure-XLA path is "

@@ -85,7 +85,7 @@ class Config:
     compute_dtype: str = "bfloat16"   # bf16 compute / f32 params
     param_dtype: str = "float32"
     remat: bool = False           # jax.checkpoint the per-level blocks
-    remat_policy: str = ""        # ""=recompute all; "mxu"=save dot/conv/FFT
+    remat_policy: str = ""  # ""=all; "mxu"=save dot/conv/FFT; "mxu+ew"=+tagged ew
     #                               outputs, recompute elementwise only;
     #                               "dots"=save non-batch matmuls
     checkpoint_dir: str = "checkpoints"

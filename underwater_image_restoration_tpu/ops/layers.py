@@ -18,6 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 from .init import make_torch_bias_init, torch_kernel_init
 
@@ -61,7 +62,10 @@ def _depthwise_shift_mac(x, kernel, ksize, padding, dtype):
             term = (xp[:, dh:dh + h, dw:dw + w, :] * k[dh, dw, 0]).astype(
                 acc_dtype)
             y = term if y is None else y + term
-    return y.astype(dtype)
+    # tag the output so remat_policy="mxu+ew" can save it: unlike the lax
+    # path this lowering emits no conv primitive, so the plain "mxu"
+    # policy recomputes all kh*kw shifted FMAs in the backward
+    return checkpoint_name(y.astype(dtype), "dwconv_out")
 
 
 class Conv2d(nn.Module):
@@ -219,8 +223,12 @@ def gelu(x):
     it with converted checkpoints or parity tests.
     """
     if os.environ.get("UIRT_FAST_GELU"):
-        return jax.nn.gelu(x, approximate=True)
-    return jax.nn.gelu(x, approximate=False)
+        y = jax.nn.gelu(x, approximate=True)
+    else:
+        y = jax.nn.gelu(x, approximate=False)
+    # tagged so remat_policy="mxu+ew" can save it — erf is the most
+    # expensive elementwise op in the step (see PERF_NOTES.md attribution)
+    return checkpoint_name(y, "gelu_out")
 
 
 def leaky_relu(x, negative_slope: float = 0.01):
@@ -257,16 +265,31 @@ def _mxu_saveable(prim, *avals, **params) -> bool:
     return False
 
 
+# checkpoint_name tags whose outputs "mxu+ew" additionally saves: the
+# shift-MAC depthwise (kh*kw VPU FMAs, no conv primitive to match) and
+# exact-GELU (erf — the most expensive elementwise op in the attribution)
+_SAVED_NAMES = ("dwconv_out", "gelu_out")
+
+
+def _mxu_ew_saveable(prim, *avals, **params) -> bool:
+    if getattr(prim, "name", "") == "name":
+        return params.get("name") in _SAVED_NAMES
+    return _mxu_saveable(prim, *avals, **params)
+
+
 # Named activation-checkpoint policies for model ``remat_policy`` fields.
 # None/"full": recompute everything (max HBM savings, +~18% flops);
 # "mxu": save matmul/conv/FFT outputs, recompute elementwise only
 # (near-zero extra MXU flops, intermediate HBM savings);
+# "mxu+ew": "mxu" plus the tagged expensive elementwise outputs
+# (shift-MAC depthwise, erf-GELU) — least recompute, most residual HBM;
 # "dots": save only non-batch matmuls (weight matmuls), recompute
 # attention matmuls/convs/FFTs (between the other two).
 REMAT_POLICIES = {
     None: None,
     "full": None,
     "mxu": _mxu_saveable,
+    "mxu+ew": _mxu_ew_saveable,
     "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
 }
 
