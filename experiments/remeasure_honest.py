@@ -39,6 +39,11 @@ CELLS = [
      {"remat_policy": "mxu"}, 256, 64, 8, {}),
     ("Spectral@256 bs32 K=8 pol=mxu", "SpectralTransformer",
      {"remat_policy": "mxu"}, 256, 32, 8, {}),
+    # flop-level A/B says mxu+ew is slightly WORSE (reduce_precision pairs
+    # on saved residuals outweigh the removed recompute — PERF_NOTES.md);
+    # hardware decides whether rp is actually elided at runtime
+    ("Spectral@256 bs32 K=8 pol=mxu+ew", "SpectralTransformer",
+     {"remat_policy": "mxu+ew"}, 256, 32, 8, {}),
     ("Spectral@256 bs16 fflMix K=8", "SpectralTransformer",
      {"lossf": "fflMix"}, 256, 16, 8, {}),
     # round-1's "Pallas == XLA end-to-end" verdict came from enqueue-rate
