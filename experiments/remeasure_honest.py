@@ -64,39 +64,82 @@ CELLS = [
 ]
 
 
-def main():
+def _enable_cache():
+    from underwater_image_restoration_tpu.cli.main import enable_compile_cache
+    from underwater_image_restoration_tpu.core.config import (
+        DEFAULT_COMPILE_CACHE,
+    )
+
+    enable_compile_cache(DEFAULT_COMPILE_CACHE)
+
+
+def run_one_cell(idx: int) -> None:
+    """Run a single cell (or the inference cell, idx=-1) in THIS process.
+
+    One RESOURCE_EXHAUSTED can wedge the remote tunnel for the rest of the
+    process (observed: every later cell OOMs even at trivial sizes), so the
+    sweep driver spawns each cell in a fresh subprocess instead of looping
+    in-process."""
     from underwater_image_restoration_tpu.train.benchlib import (
         time_infer,
         time_train_step,
     )
 
-    for label, arch, kw, size, batch, k, env in CELLS:
-        saved = {e: os.environ.get(e) for e in env}
-        os.environ.update(env)
-        try:
-            # `steps` = DISPATCHES per window; keep ~constant images/window
-            r = time_train_step(arch, size, batch, steps=max(2, 32 // k),
-                                windows=2, n_batches=2, k_steps=k, **kw)
-            print(f"{label:32s} {r:9.1f} img/s", flush=True)
-        except Exception as e:
-            print(f"{label:32s} FAILED {type(e).__name__}: {str(e)[:90]}",
-                  flush=True)
-        finally:
-            for e, v in saved.items():
-                if v is None:
-                    os.environ.pop(e, None)
-                else:
-                    os.environ[e] = v
+    _enable_cache()
+    if idx < 0:
+        for ib in (256, 64):
+            try:
+                r = time_infer("SpectralTransformer", 256, ib, steps=8,
+                               windows=2)
+                print(f"{'infer Spectral@256 bs%d' % ib:32s} {r:9.1f} img/s",
+                      flush=True)
+                return
+            except Exception as e:
+                print(f"infer bs{ib} FAILED {type(e).__name__}", flush=True)
+        raise SystemExit(1)
 
-    for ib in (256, 64):
-        try:
-            r = time_infer("SpectralTransformer", 256, ib, steps=8, windows=2)
-            print(f"{'infer Spectral@256 bs%d' % ib:32s} {r:9.1f} img/s",
-                  flush=True)
-            break
-        except Exception as e:
-            print(f"infer bs{ib} FAILED {type(e).__name__}", flush=True)
+    label, arch, kw, size, batch, k, env = CELLS[idx]
+    os.environ.update(env)
+    # `steps` = DISPATCHES per window; keep ~constant images/window
+    r = time_train_step(arch, size, batch, steps=max(2, 32 // k),
+                        windows=2, n_batches=2, k_steps=k, **kw)
+    print(f"{label:32s} {r:9.1f} img/s", flush=True)
+
+
+def main():
+    """Sweep driver: one subprocess per cell, retrying transient failures.
+
+    HTTP 500 from the remote compile helper and tunnel-wedge OOM cascades
+    are both transient (shared compile host / shared chip); genuine
+    doesn't-fit OOMs are not, but retrying those twice only costs minutes."""
+    import subprocess
+    import time
+
+    here = os.path.abspath(__file__)
+    indices = list(range(len(CELLS))) + [-1]
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        indices = [int(x) for x in sys.argv[2].split(",")]
+    for idx in indices:
+        label = CELLS[idx][0] if idx >= 0 else "infer"
+        for attempt in range(3):
+            res = subprocess.run(
+                [sys.executable, here, "--cell", str(idx)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            out = (res.stdout or "").strip()
+            if res.returncode == 0 and out:
+                print(out.splitlines()[-1], flush=True)
+                break
+            tail = (res.stderr or "").strip().splitlines()[-1:] or ["?"]
+            print(f"# {label}: attempt {attempt + 1} rc={res.returncode} "
+                  f"{tail[0][:110]}", flush=True)
+            time.sleep(60)
+        else:
+            print(f"{label:32s} FAILED after 3 attempts", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--cell":
+        run_one_cell(int(sys.argv[2]))
+    else:
+        main()
