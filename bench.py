@@ -94,28 +94,90 @@ def _run(arch: str, size: int, batch: int, *, windows: int = 3,
                            remat_policy=remat_policy, **model_kw)
 
 
+def _run_cell_subprocess(spec: dict, timeout_s: int = 1500) -> float:
+    """Run one timing cell in a fresh subprocess.
+
+    Isolation matters: one RESOURCE_EXHAUSTED can wedge the remote-tunnel
+    backend for the rest of the process (observed: every subsequent cell
+    then OOMs even at trivial sizes), which would turn a single transient
+    contention OOM into a fully failed ladder.  The subprocess prints the
+    img/s number as its last stdout line; stderr passes through."""
+    import subprocess
+
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cell",
+         json.dumps(spec)],
+        capture_output=True, text=True, timeout=timeout_s,
+    )
+    for line in (res.stderr or "").splitlines():
+        _note(f"  [cell] {line}" if "WARNING" not in line else f"  {line}")
+    out = (res.stdout or "").strip().splitlines()
+    if res.returncode != 0 or not out:
+        raise RuntimeError(
+            f"cell subprocess rc={res.returncode}: "
+            + ((res.stderr or "").strip().splitlines()[-1:] or ["?"])[0][:200]
+        )
+    return float(out[-1])
+
+
+def _cell_main(spec: dict) -> None:
+    """--cell entry: one timing cell in this process (see
+    _run_cell_subprocess)."""
+    from underwater_image_restoration_tpu.cli.main import enable_compile_cache
+    from underwater_image_restoration_tpu.core.config import (
+        DEFAULT_COMPILE_CACHE,
+    )
+
+    enable_compile_cache(DEFAULT_COMPILE_CACHE)
+    for k, v in spec.get("env", {}).items():
+        os.environ[k] = v
+    if spec.get("infer"):
+        from underwater_image_restoration_tpu.train.benchlib import time_infer
+
+        r = time_infer(spec["arch"], spec["size"], spec["batch"],
+                       steps=spec.get("steps", 10),
+                       windows=spec.get("windows", 2))
+    else:
+        r = _run(spec["arch"], spec["size"], spec["batch"],
+                 windows=spec.get("windows", 2),
+                 steps=spec.get("steps", STEPS),
+                 k_steps=spec.get("k_steps", 1),
+                 remat_policy=spec.get("remat_policy"),
+                 **spec.get("model_kw", {}))
+    print(r, flush=True)
+
+
 def _run_ladder(arch: str, size: int, ladder, *, windows: int,
-                steps: int = STEPS, **model_kw):
+                steps: int = STEPS, env=None, **model_kw):
     """Try (batch, k_steps[, remat_policy]) cells best-first: another
     tenant's HBM use can OOM the sweet spot, so fall back rather than fail
-    the bench."""
+    the bench.  Each cell runs in a fresh subprocess (_run_cell_subprocess)
+    so one OOM can't wedge the backend for the rest of the ladder; the
+    top-of-ladder cell gets a second attempt because transient contention
+    OOMs at the sweet spot are common and the fallback cells are slower."""
     last_err = None
-    for cell in ladder:
+    for ci, cell in enumerate(ladder):
         if not isinstance(cell, tuple):
             cell = (cell, 1)
         batch, k = cell[0], cell[1]
         pol = cell[2] if len(cell) > 2 else None
         tag = f"{arch}@{size} batch={batch} K={k}" + (
             f" pol={pol}" if pol else "")
-        _note(f"{tag} ...")
-        try:
-            r = _run(arch, size, batch, windows=windows, steps=steps,
-                     k_steps=k, remat_policy=pol, **model_kw)
-            _note(f"{tag} -> {r:.1f} img/s")
-            return r
-        except Exception as e:  # XlaRuntimeError: RESOURCE_EXHAUSTED etc.
-            _note(f"{tag} failed: {type(e).__name__}")
-            last_err = e
+        spec = {"arch": arch, "size": size, "batch": batch,
+                "windows": windows, "steps": steps, "k_steps": k,
+                "remat_policy": pol, "model_kw": model_kw,
+                "env": env or {}}
+        for attempt in range(2 if ci == 0 else 1):
+            _note(f"{tag} ...")
+            try:
+                r = _run_cell_subprocess(spec)
+                _note(f"{tag} -> {r:.1f} img/s")
+                return r
+            except Exception as e:  # RESOURCE_EXHAUSTED, compile 500, ...
+                _note(f"{tag} failed: {type(e).__name__}: {str(e)[:140]}")
+                last_err = e
+                if ci == 0 and attempt == 0:
+                    time.sleep(30)
     raise last_err
 
 
@@ -172,20 +234,13 @@ def main():
 
     archs = {}
     for label, arch, kw, size, ladder, windows, no_pallas in ZOO:
-        prev = os.environ.get("UIRT_NO_PALLAS")
         try:
-            if no_pallas:
-                os.environ["UIRT_NO_PALLAS"] = "1"
             archs[label] = round(
-                _run_ladder(arch, size, ladder, windows=windows,
-                            steps=10, **kw), 2)
+                _run_ladder(arch, size, ladder, windows=windows, steps=10,
+                            env={"UIRT_NO_PALLAS": "1"} if no_pallas else {},
+                            **kw), 2)
         except Exception as e:
             archs[label] = f"failed: {type(e).__name__}"
-        finally:
-            if prev is None:
-                os.environ.pop("UIRT_NO_PALLAS", None)
-            else:
-                os.environ["UIRT_NO_PALLAS"] = prev
 
     # Serving-side number: the jitted uint8->forward inference path
     # (eval/evaluate.py batched dispatch).  Ladder falls back on OOM.
@@ -193,13 +248,9 @@ def main():
     for batch in (512, 256, 64, 8):
         _note(f"infer Spectral@256 batch={batch} ...")
         try:
-            from underwater_image_restoration_tpu.train.benchlib import (
-                time_infer,
-            )
-
-            infer["SpectralTransformer@256"] = round(
-                time_infer("SpectralTransformer", 256, batch, steps=10,
-                           windows=2), 2)
+            infer["SpectralTransformer@256"] = round(_run_cell_subprocess(
+                {"infer": True, "arch": "SpectralTransformer", "size": 256,
+                 "batch": batch, "steps": 10, "windows": 2}), 2)
             _note(f"infer batch={batch} -> "
                   f"{infer['SpectralTransformer@256']} img/s")
             break
@@ -223,4 +274,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--cell":
+        _cell_main(json.loads(sys.argv[2]))
+    else:
+        main()
