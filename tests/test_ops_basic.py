@@ -266,6 +266,18 @@ def test_depthwise_shift_mac_matches_lax_conv(rng, monkeypatch):
         g1, g2)
     monkeypatch.delenv("UIRT_DWCONV_LAX")
 
+    # hybrid path: forward is the SAME lax conv (bit-identical), backward is
+    # the hand-written VJP (flipped-kernel conv for dx, fused per-tap
+    # multiply-reduce for dk) — must match lax autodiff numerically
+    monkeypatch.setenv("UIRT_DWCONV", "hybrid")
+    y3, g3 = run()
+    np.testing.assert_array_equal(np.asarray(y3), np.asarray(y2))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-4),
+        g3, g2)
+    monkeypatch.delenv("UIRT_DWCONV")
+
     # non-'same' integer padding must take the general lax path (the shift
     # windows assume padded size H+kh-1): depthwise valid/over-padded convs
     # keep torch output shapes

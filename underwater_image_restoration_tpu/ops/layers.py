@@ -12,6 +12,7 @@ Mixed precision: parameters are stored in ``param_dtype`` (f32) and cast to
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Any, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -68,6 +69,74 @@ def _depthwise_shift_mac(x, kernel, ksize, padding, dtype):
     return checkpoint_name(y.astype(dtype), "dwconv_out")
 
 
+def _dw_conv(x, k, padding):
+    """Plain stride-1 depthwise lax conv, NHWC/HWIO, C groups."""
+    return lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _depthwise_conv_hybrid(x, k, meta):
+    """Depthwise stride-1 'same' conv with a hand-written VJP.
+
+    Motivation (measured, PERF_NOTES.md round 2): XLA-TPU computes the
+    grouped-conv FILTER gradient densely — a Spectral@256 bs64 train step
+    on the pure-lax path runs at 24 img/s on a chip sustaining 111 bf16
+    TFLOP/s on matmuls — while the shift-MAC forward lowering
+    (`_depthwise_shift_mac`) fixes the flops but inflates peak HBM (its
+    autodiff materializes kh*kw shifted copies; bs64 no longer fits).
+
+    This path keeps the forward a SINGLE lax conv (one op, no shifted
+    copies, bit-identical to the lax lowering) and replaces only the
+    backward:
+
+    - input grad = depthwise conv of dy with the spatially flipped kernel
+      (the exact transpose of stride-1 symmetric-'same' correlation);
+    - filter grad = kh*kw fused multiply-reduce taps
+      (einsum ``bhwc,bhwc->c`` on shifted slices — XLA fuses each into a
+      single reduction; nothing big is materialized).
+    """
+    ph, pw = meta
+    return _dw_conv(x, k, [(ph, ph), (pw, pw)])
+
+
+def _depthwise_conv_hybrid_fwd(x, k, meta):
+    return _depthwise_conv_hybrid(x, k, meta), (x, k)
+
+
+def _depthwise_conv_hybrid_bwd(meta, res, dy):
+    x, k = res
+    kh, kw = k.shape[0], k.shape[1]
+    ph, pw = meta
+    _, h, w, _ = x.shape
+    # transpose of symmetric-'same' stride-1 correlation: correlation of dy
+    # with the spatially flipped kernel, same padding
+    dx = _dw_conv(dy, k[::-1, ::-1], [(ph, ph), (pw, pw)])
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    taps = []
+    for dh in range(kh):
+        for dw in range(kw):
+            taps.append(jnp.einsum(
+                "bhwc,bhwc->c", xp[:, dh:dh + h, dw:dw + w, :], dy,
+                preferred_element_type=jnp.float32))
+    dk = jnp.stack(taps).reshape(kh, kw, 1, x.shape[-1]).astype(k.dtype)
+    return dx, dk
+
+
+_depthwise_conv_hybrid.defvjp(_depthwise_conv_hybrid_fwd,
+                              _depthwise_conv_hybrid_bwd)
+
+
+def _dwconv_mode() -> str:
+    """Depthwise lowering selector: UIRT_DWCONV in {shift, lax, hybrid}
+    (UIRT_DWCONV_LAX=1 is the historical alias for lax)."""
+    if os.environ.get("UIRT_DWCONV_LAX"):
+        return "lax"
+    return os.environ.get("UIRT_DWCONV", "shift")
+
+
 class Conv2d(nn.Module):
     """NHWC conv matching torch Conv2d semantics (torch pads ``padding`` on
     both sides; groups via feature_group_count).
@@ -100,14 +169,20 @@ class Conv2d(nn.Module):
         else:
             ph, pw = _pair(self.padding)
             pad = [(ph, ph), (pw, pw)]
+        mode = _dwconv_mode()
         if (self.groups == in_ch == self.features and self.groups > 1
                 and (sh, sw) == (1, 1) and not isinstance(pad, str)
                 and 2 * pad[0][0] == kh - 1 and 2 * pad[1][0] == kw - 1
-                and kh * kw <= 9 and not os.environ.get("UIRT_DWCONV_LAX")):
-            # same-padding only: the slice windows below assume the padded
-            # map is exactly (H+kh-1, W+kw-1)
-            y = _depthwise_shift_mac(x, kernel, (kh, kw), (ph, pw),
-                                     self.dtype)
+                and kh * kw <= 9 and mode != "lax"):
+            # same-padding only: the slice windows assume the padded map is
+            # exactly (H+kh-1, W+kw-1)
+            if mode == "hybrid":
+                y = _depthwise_conv_hybrid(
+                    x.astype(self.dtype), kernel.astype(self.dtype),
+                    (ph, pw))
+            else:
+                y = _depthwise_shift_mac(x, kernel, (kh, kw), (ph, pw),
+                                         self.dtype)
         else:
             y = lax.conv_general_dilated(
                 x.astype(self.dtype),
