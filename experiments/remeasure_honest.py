@@ -25,18 +25,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CELLS = [
     # (label, arch, kwargs, size, batch, K, env)
-    ("Spectral@256 bs64 K=1", "SpectralTransformer", {}, 256, 64, 1, {}),
-    ("Spectral@256 bs64 K=8", "SpectralTransformer", {}, 256, 64, 8, {}),
-    ("Spectral@256 bs64 K=32", "SpectralTransformer", {}, 256, 64, 32, {}),
-    ("Spectral@256 bs64 K=8 laxdw", "SpectralTransformer", {}, 256, 64, 8,
+    # bs64 no longer fits with the shift-MAC depthwise (static HBM
+    # requirement 29.6G > 15.75G — the 9 shifted copies inflate remat
+    # buffers); bs64 DOES fit via UIRT_DWCONV_LAX but measured 24.4 img/s
+    # (the dense grouped-conv filter-grad is REAL compute on TPU, not a
+    # counting artifact — chip calibrated healthy at 111 TFLOP/s the same
+    # minute).  Headline candidates are therefore bs32 shift-MAC cells.
+    ("Spectral@256 bs32 K=1", "SpectralTransformer", {}, 256, 32, 1, {}),
+    ("Spectral@256 bs32 K=8", "SpectralTransformer", {}, 256, 32, 8, {}),
+    ("Spectral@256 bs32 K=8 laxdw", "SpectralTransformer", {}, 256, 32, 8,
      {"UIRT_DWCONV_LAX": "1"}),
     ("Spectral@256 bs32 K=8 no-remat", "SpectralTransformer",
      {"remat": False}, 256, 32, 8, {}),
     # remat_policy="mxu" saves dot/conv/FFT outputs: ~remat=False flops with
-    # most of remat's HBM savings.  A/B at the same batch, and at the
-    # largest batch that fits (the policy stores more than full remat).
-    ("Spectral@256 bs64 K=8 pol=mxu", "SpectralTransformer",
-     {"remat_policy": "mxu"}, 256, 64, 8, {}),
+    # most of remat's HBM savings.
     ("Spectral@256 bs32 K=8 pol=mxu", "SpectralTransformer",
      {"remat_policy": "mxu"}, 256, 32, 8, {}),
     # flop-level A/B says mxu+ew is slightly WORSE (reduce_precision pairs
@@ -61,6 +63,14 @@ CELLS = [
     ("NewBigModel@512 bs4 K=8", "NewBigModel", {"use_dwt": "Wavelet"}, 512,
      4, 8, {"UIRT_NO_PALLAS": "1"}),
     ("Spectral@1024 bs1 K=8", "SpectralTransformer", {}, 1024, 1, 8, {}),
+    # appended after launch (run with --only): UIRT_DWCONV=hybrid keeps the
+    # single-conv forward (fits bs64) with the cheap hand-written backward
+    ("Spectral@256 bs32 K=8 hybrid", "SpectralTransformer", {}, 256, 32, 8,
+     {"UIRT_DWCONV": "hybrid"}),
+    ("Spectral@256 bs64 K=8 hybrid", "SpectralTransformer", {}, 256, 64, 8,
+     {"UIRT_DWCONV": "hybrid"}),
+    ("AST@256 bs32 K=8 hybrid", "AST", {}, 256, 32, 8,
+     {"UIRT_DWCONV": "hybrid"}),
 ]
 
 
