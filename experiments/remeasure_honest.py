@@ -23,54 +23,67 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# K-rethink under honest timing: real step times are tens of ms, so the
+# ~5 ms enqueue round-trip is a 5-15% overhead at K=1 — and each K unit of
+# a K-step dispatch costs a full stacked uint8 input pair in HBM
+# (bs32@256: 400 MB/K-unit; the compile-only prescreen measured bs32 K=8
+# shift at 16.5 GB static > 15 GB budget).  So the candidate grid is small
+# K (1/2/4), not the K=32 of the enqueue-rate era.
+HYB = {"UIRT_DWCONV": "hybrid"}
+LAX = {"UIRT_DWCONV": "lax"}
+
 CELLS = [
     # (label, arch, kwargs, size, batch, K, env)
-    # bs64 no longer fits with the shift-MAC depthwise (static HBM
-    # requirement 29.6G > 15.75G — the 9 shifted copies inflate remat
-    # buffers); bs64 DOES fit via UIRT_DWCONV_LAX but measured 24.4 img/s
-    # (the dense grouped-conv filter-grad is REAL compute on TPU, not a
-    # counting artifact — chip calibrated healthy at 111 TFLOP/s the same
-    # minute).  Headline candidates are therefore bs32 shift-MAC cells.
-    ("Spectral@256 bs32 K=1", "SpectralTransformer", {}, 256, 32, 1, {}),
-    ("Spectral@256 bs32 K=8", "SpectralTransformer", {}, 256, 32, 8, {}),
-    ("Spectral@256 bs32 K=8 laxdw", "SpectralTransformer", {}, 256, 32, 8,
-     {"UIRT_DWCONV_LAX": "1"}),
-    ("Spectral@256 bs32 K=8 no-remat", "SpectralTransformer",
-     {"remat": False}, 256, 32, 8, {}),
-    # remat_policy="mxu" saves dot/conv/FFT outputs: ~remat=False flops with
-    # most of remat's HBM savings.
-    ("Spectral@256 bs32 K=8 pol=mxu", "SpectralTransformer",
-     {"remat_policy": "mxu"}, 256, 32, 8, {}),
-    # flop-level A/B says mxu+ew is slightly WORSE (reduce_precision pairs
-    # on saved residuals outweigh the removed recompute — PERF_NOTES.md);
-    # hardware decides whether rp is actually elided at runtime
-    ("Spectral@256 bs32 K=8 pol=mxu+ew", "SpectralTransformer",
-     {"remat_policy": "mxu+ew"}, 256, 32, 8, {}),
-    ("Spectral@256 bs16 fflMix K=8", "SpectralTransformer",
-     {"lossf": "fflMix"}, 256, 16, 8, {}),
+    # -- dwconv-mode A/B at a batch where every mode fits (bs16) ---------
+    # (the compile-only prescreen measured bs32 SHIFT at 16.4 GB static >
+    # the 15.75 GB chip — the shift lowering's kh*kw shifted copies under
+    # remat push bs32 out; hybrid keeps the single-conv forward and fits)
+    ("Spectral@256 bs16 K=2 shift", "SpectralTransformer", {}, 256, 16, 2,
+     {}),
+    ("Spectral@256 bs16 K=2 hybrid", "SpectralTransformer", {}, 256, 16, 2,
+     HYB),
+    ("Spectral@256 bs16 K=2 laxdw", "SpectralTransformer", {}, 256, 16, 2,
+     LAX),
+    # -- batch/K grid under hybrid (the HBM-lean mode) --------------------
+    ("Spectral@256 bs32 K=1 hybrid", "SpectralTransformer", {}, 256, 32, 1,
+     HYB),
+    ("Spectral@256 bs32 K=2 hybrid", "SpectralTransformer", {}, 256, 32, 2,
+     HYB),
+    ("Spectral@256 bs32 K=4 hybrid", "SpectralTransformer", {}, 256, 32, 4,
+     HYB),
+    ("Spectral@256 bs64 K=1 hybrid", "SpectralTransformer", {}, 256, 64, 1,
+     HYB),
+    ("Spectral@256 bs64 K=2 hybrid", "SpectralTransformer", {}, 256, 64, 2,
+     HYB),
+    # -- remat family under hybrid at bs32 --------------------------------
+    ("Spectral@256 bs32 K=2 hybrid no-remat", "SpectralTransformer",
+     {"remat": False}, 256, 32, 2, HYB),
+    ("Spectral@256 bs32 K=2 hybrid pol=mxu", "SpectralTransformer",
+     {"remat_policy": "mxu"}, 256, 32, 2, HYB),
+    ("Spectral@256 bs32 K=2 hybrid pol=mxu+ew", "SpectralTransformer",
+     {"remat_policy": "mxu+ew"}, 256, 32, 2, HYB),
+    ("Spectral@256 bs64 K=2 hybrid pol=mxu", "SpectralTransformer",
+     {"remat_policy": "mxu"}, 256, 64, 2, HYB),
+    # -- loss family ------------------------------------------------------
+    ("Spectral@256 bs16 fflMix K=2 hybrid", "SpectralTransformer",
+     {"lossf": "fflMix"}, 256, 16, 2, HYB),
+    # -- zoo + levers -----------------------------------------------------
+    ("AST@256 bs32 K=2", "AST", {}, 256, 32, 2, {}),
+    ("AST@256 bs32 K=2 hybrid", "AST", {}, 256, 32, 2, HYB),
     # round-1's "Pallas == XLA end-to-end" verdict came from enqueue-rate
     # timing — re-decide it honestly
-    ("AST@256 bs32 K=8", "AST", {}, 256, 32, 8, {}),
-    ("AST@256 bs32 K=8 pallas", "AST", {}, 256, 32, 8,
-     {"UIRT_PALLAS": "1"}),
+    ("AST@256 bs32 K=2 pallas", "AST", {}, 256, 32, 2, {"UIRT_PALLAS": "1"}),
     # exact-GELU erf is a large VPU cost in the flop attribution
     # (hlo_breakdown: AST mlp/erfc 124 GFLOP/img on the CPU lowering);
     # tanh-approx A/B decides whether erf matters on the TPU VPU
-    ("AST@256 bs32 K=8 fastgelu", "AST", {}, 256, 32, 8,
+    ("AST@256 bs32 K=2 fastgelu", "AST", {}, 256, 32, 2,
      {"UIRT_FAST_GELU": "1"}),
-    ("NewModel-W@256 bs16 K=8", "NewModel", {"use_dwt": "Wavelet"}, 256, 16,
-     8, {}),
-    ("NewBigModel@512 bs4 K=8", "NewBigModel", {"use_dwt": "Wavelet"}, 512,
-     4, 8, {"UIRT_NO_PALLAS": "1"}),
-    ("Spectral@1024 bs1 K=8", "SpectralTransformer", {}, 1024, 1, 8, {}),
-    # appended after launch (run with --only): UIRT_DWCONV=hybrid keeps the
-    # single-conv forward (fits bs64) with the cheap hand-written backward
-    ("Spectral@256 bs32 K=8 hybrid", "SpectralTransformer", {}, 256, 32, 8,
-     {"UIRT_DWCONV": "hybrid"}),
-    ("Spectral@256 bs64 K=8 hybrid", "SpectralTransformer", {}, 256, 64, 8,
-     {"UIRT_DWCONV": "hybrid"}),
-    ("AST@256 bs32 K=8 hybrid", "AST", {}, 256, 32, 8,
-     {"UIRT_DWCONV": "hybrid"}),
+    ("NewModel-W@256 bs16 K=2 hybrid", "NewModel", {"use_dwt": "Wavelet"},
+     256, 16, 2, HYB),
+    ("NewBigModel@512 bs4 K=2 hybrid", "NewBigModel", {"use_dwt": "Wavelet"},
+     512, 4, 2, dict(HYB, UIRT_NO_PALLAS="1")),
+    ("Spectral@1024 bs1 K=2 hybrid", "SpectralTransformer", {}, 1024, 1, 2,
+     HYB),
 ]
 
 
@@ -110,10 +123,13 @@ def run_one_cell(idx: int) -> None:
 
     label, arch, kw, size, batch, k, env = CELLS[idx]
     os.environ.update(env)
-    # `steps` = DISPATCHES per window; keep ~constant images/window
-    r = time_train_step(arch, size, batch, steps=max(2, 32 // k),
-                        windows=2, n_batches=2, k_steps=k, **kw)
-    print(f"{label:32s} {r:9.1f} img/s", flush=True)
+    # `steps` = DISPATCHES per window; keep ~constant images/window.
+    # n_batches=1 when K>1: each extra rotated pair costs K x batch of
+    # uint8 HBM, and timing is data-independent anyway.
+    r = time_train_step(arch, size, batch, steps=max(4, 16 // k),
+                        windows=2, n_batches=1 if k > 1 else 2, k_steps=k,
+                        **kw)
+    print(f"{label:40s} {r:9.1f} img/s", flush=True)
 
 
 def main():
@@ -132,17 +148,27 @@ def main():
     for idx in indices:
         label = CELLS[idx][0] if idx >= 0 else "infer"
         for attempt in range(3):
-            res = subprocess.run(
-                [sys.executable, here, "--cell", str(idx)],
-                capture_output=True, text=True, timeout=1800,
-            )
-            out = (res.stdout or "").strip()
-            if res.returncode == 0 and out:
+            try:
+                res = subprocess.run(
+                    [sys.executable, here, "--cell", str(idx)],
+                    capture_output=True, text=True, timeout=1800,
+                )
+                rc, out = res.returncode, (res.stdout or "").strip()
+                tail = (res.stderr or "").strip().splitlines()[-1:] or ["?"]
+            except subprocess.TimeoutExpired:
+                # a wedged tunnel cell is exactly the failure mode the
+                # per-cell subprocess exists to survive — count it as a
+                # failed attempt, don't abort the sweep
+                rc, out, tail = -9, "", ["subprocess timeout (1800s)"]
+            if rc == 0 and out:
                 print(out.splitlines()[-1], flush=True)
                 break
-            tail = (res.stderr or "").strip().splitlines()[-1:] or ["?"]
-            print(f"# {label}: attempt {attempt + 1} rc={res.returncode} "
+            print(f"# {label}: attempt {attempt + 1} rc={rc} "
                   f"{tail[0][:110]}", flush=True)
+            if "PrescreenOOM" in tail[0]:
+                print(f"{label:40s} SKIPPED ({tail[0].split(':')[-1].strip()})",
+                      flush=True)
+                break  # compile-only static can't-fit: deterministic
             time.sleep(60)
         else:
             print(f"{label:32s} FAILED after 3 attempts", flush=True)

@@ -1,5 +1,7 @@
-"""Loss-system tests: torch oracles for primitives, invariants + independent
-numpy oracles for MS-SSIM/FFL, dispatch coverage for all ~18 loss names."""
+"""Loss-system tests: torch oracles for primitives, exact float64
+transcriptions of the pytorch_msssim / focal_frequency_loss packages as
+MS-SSIM/FFL oracles (freq_oracles.py), dispatch coverage for all ~18 loss
+names."""
 import warnings
 
 import jax
@@ -121,6 +123,68 @@ def test_ms_ssim_identity_and_monotonic(rng):
     v1 = float(losses.ms_ssim(x, y1, win_size=3))
     v2 = float(losses.ms_ssim(x, y2, win_size=3))
     assert 1.0 > v1 > v2
+
+
+# ---------------- exact package transcriptions (freq_oracles.py) --------
+# The reference's MS-SSIM/FFL are the pytorch_msssim / focal_frequency_loss
+# pip packages (reference losses.py:5-6,46-48; val SSIM ModelTrainer.py:23-24),
+# not installable here — freq_oracles.py transcribes their algorithms
+# op-for-op onto torch.nn.functional in float64 (same conv/avg_pool/fft
+# kernels the packages call).  SURVEY §2.3 tolerance: <=1e-5.
+
+import freq_oracles  # noqa: E402
+
+
+def _nchw64(x: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).double()
+
+
+@pytest.mark.parametrize(
+    "shape,win", [((2, 24, 24, 3), 11), ((1, 23, 29, 3), 7),
+                  ((1, 17, 16, 2), 11)])
+def test_ssim_matches_package_transcription(rng, shape, win):
+    x = rng.random(shape, dtype=np.float32)
+    y = np.clip(x + 0.08 * rng.standard_normal(shape).astype(np.float32),
+                0, 1)
+    got = float(losses.ssim(x, y, win_size=win))
+    want = freq_oracles.ssim_oracle(_nchw64(x), _nchw64(y), win_size=win)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "shape,win",
+    [
+        ((1, 98, 100, 1), 7),    # even sides
+        ((1, 99, 103, 2), 7),    # odd sides: exercises avg_pool padding
+                                 # at several pyramid levels
+        ((1, 162, 171, 3), 11),  # odd, full default window
+        ((1, 256, 256, 3), 11),  # the training resolution the losses see
+    ])
+def test_ms_ssim_matches_package_transcription(rng, shape, win):
+    x = rng.random(shape, dtype=np.float32)
+    y = np.clip(x + 0.08 * rng.standard_normal(shape).astype(np.float32),
+                0, 1)
+    got = float(losses.ms_ssim(x, y, win_size=win))
+    want = freq_oracles.ms_ssim_oracle(_nchw64(x), _nchw64(y), win_size=win)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "shape,kw",
+    [
+        ((2, 12, 12, 3), {}),                     # reference defaults
+        ((1, 9, 13, 3), {}),                      # odd sides
+        ((2, 16, 20, 3), {"patch_factor": 2}),
+        ((1, 16, 16, 2), {"patch_factor": 4, "log_matrix": True}),
+        ((2, 10, 14, 3), {"batch_matrix": True}),
+        ((3, 12, 8, 3), {"ave_spectrum": True, "alpha": 2.0}),
+    ])
+def test_ffl_matches_package_transcription(rng, shape, kw):
+    x = rng.random(shape, dtype=np.float32)
+    y = rng.random(shape, dtype=np.float32)
+    got = float(losses.focal_frequency_loss(x, y, **kw))
+    want = freq_oracles.ffl_oracle(_nchw64(x), _nchw64(y), **kw)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
 
 
 # ---------------- FFL ----------------

@@ -221,6 +221,75 @@ def test_new_model_wavelet_trajectory_parity():
                              use_dwt="Wavelet"))
 
 
+def test_scan_path_trajectory_parity_vs_torch():
+    """The production scan machinery vs the torch reference (VERDICT r2 #7):
+    a B*C-divided loss (L1 — reference losses.py:55-57 divides the mean by
+    batch*channels) under grad_accum=2 AND k_steps=2, 4 optimizer steps in
+    2 dispatches, against the reference hot loop stepping sequentially
+    (ModelTrainer.py:79-88).  The JAX-vs-JAX equality tests
+    (test_k_steps_matches_sequential, test_grad_accum_matches_full_batch)
+    pin the scans against single-step JAX; this pins the composed path —
+    microbatch accumulation scaling for the bc_divided family, K-step state
+    threading, stacked-metric unpacking — against torch itself."""
+    spec = importlib.util.spec_from_file_location(
+        "ref_spectral_scan",
+        "/root/reference/src/Models/SpectralTransformer.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    torch.manual_seed(0)
+    m = mod.SpectralTransformer()
+    sd = {k: v.numpy().copy() for k, v in m.state_dict().items()}
+    variables = convert_state_dict("SpectralTransformer", sd)
+    model = init_model("SpectralTransformer")
+    n_steps = 4
+    batches = _batches(16, n=n_steps)
+
+    # torch sequential reference trajectory
+    m.train()
+    opt = torch.optim.Adam(m.parameters(), lr=LR)
+    want_losses = []
+    for raw, ref in batches:
+        opt.zero_grad()
+        truth = _norm_torch(ref)
+        loss = torch.nn.functional.l1_loss(m(_norm_torch(raw)), truth)
+        loss = loss / (truth.shape[0] * truth.shape[1])
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(m.parameters(), 1.0)
+        opt.step()
+        want_losses.append(float(loss))
+
+    # JAX: 2 dispatches of k_steps=2, each step split into 2 microbatches
+    tx = get_optimizer("adam", LR)
+    params = jax.tree.map(jnp.asarray, variables)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(model, LossFunction("L1"), tx, grad_accum=2,
+                           k_steps=2)
+    rng = jax.random.PRNGKey(9)
+    got_losses = []
+    for d in range(n_steps // 2):
+        raw_k = jnp.stack([jnp.asarray(batches[2 * d + i][0])
+                           for i in range(2)])
+        ref_k = jnp.stack([jnp.asarray(batches[2 * d + i][1])
+                           for i in range(2)])
+        state, mtr = step(state, raw_k, ref_k, rng)
+        got_losses.extend(np.asarray(mtr["loss"]).tolist())
+
+    # per-step losses: steps 2..4 are evaluated on post-update params, so
+    # they certify the accumulated+scanned optimizer trajectory
+    np.testing.assert_allclose(got_losses, want_losses, rtol=2e-4)
+
+    want_pflat = _flatpaths(convert_state_dict(
+        "SpectralTransformer",
+        {k: v.detach().numpy() for k, v in m.state_dict().items()}))
+    got_pflat = _flatpaths(jax.device_get(state.params))
+    diffs = np.concatenate([
+        np.abs(got_pflat[k] - want_pflat[k]).ravel() for k in want_pflat])
+    assert diffs.max() <= (n_steps + 1) * LR, diffs.max()
+    assert np.quantile(diffs, 0.99) <= 2e-4, np.quantile(diffs, 0.99)
+    assert np.median(diffs) <= 2e-5, np.median(diffs)
+
+
 def test_ast_trajectory_parity():
     """AST: pins the window-attention (dense+sparse relu^2 mix), LeFF, and
     rel-pos-bias gradient chain (reference AST.py:68-222,294-326) through

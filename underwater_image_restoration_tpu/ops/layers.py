@@ -97,6 +97,12 @@ def _depthwise_conv_hybrid(x, k, meta):
     - filter grad = kh*kw fused multiply-reduce taps
       (einsum ``bhwc,bhwc->c`` on shifted slices — XLA fuses each into a
       single reduction; nothing big is materialized).
+
+    Restriction: ``jax.custom_vjp`` has no JVP rule, so forward-mode AD
+    (``jax.jvp`` / ``jax.linearize`` / HVPs) through any model raises under
+    ``UIRT_DWCONV=hybrid``.  Training is reverse-mode only, so this is
+    harmless today; switch to ``shift`` or ``lax`` if a forward-mode
+    consumer ever appears.
     """
     ph, pw = meta
     return _dw_conv(x, k, [(ph, ph), (pw, pw)])
@@ -129,12 +135,22 @@ _depthwise_conv_hybrid.defvjp(_depthwise_conv_hybrid_fwd,
                               _depthwise_conv_hybrid_bwd)
 
 
+_DWCONV_MODES = ("shift", "lax", "hybrid")
+
+
 def _dwconv_mode() -> str:
     """Depthwise lowering selector: UIRT_DWCONV in {shift, lax, hybrid}
-    (UIRT_DWCONV_LAX=1 is the historical alias for lax)."""
+    (UIRT_DWCONV_LAX=1 is the historical alias for lax).
+
+    An unrecognized value raises: a typo silently falling back to the
+    default would corrupt env-driven A/B measurements."""
     if os.environ.get("UIRT_DWCONV_LAX"):
         return "lax"
-    return os.environ.get("UIRT_DWCONV", "shift")
+    mode = os.environ.get("UIRT_DWCONV", "shift")
+    if mode not in _DWCONV_MODES:
+        raise ValueError(
+            f"UIRT_DWCONV={mode!r} — expected one of {_DWCONV_MODES}")
+    return mode
 
 
 class Conv2d(nn.Module):

@@ -2,10 +2,20 @@
 
 One canonical implementation of the init-model -> TrainState -> warmup ->
 best-of-N-windows loop used by ``bench.py`` and every ``experiments/``
-script, so the timing methodology (pre-staged device batches, async
-dispatch with a single ``block_until_ready`` per window, best-window
-selection against the shared chip's transient contention) lives in exactly
-one place.
+script, so the timing methodology lives in exactly one place:
+
+- pre-staged device batches (measures the device compute path; the host
+  pipeline prefetches in parallel during real training);
+- every timing window is closed by a HOST VALUE FETCH of a value that
+  data-depends on every dispatch in the window (``_force``) — NOT
+  ``block_until_ready``, which the axon remote-execution tunnel
+  acknowledges at dispatch-ENQUEUE time and which therefore measured the
+  enqueue rate, not compute (PERF_NOTES.md "THE MEASUREMENT BUG");
+- best-of-N windows against the shared chip's transient contention;
+- a compile-only HBM prescreen (``memory_analysis`` on the AOT-compiled
+  step) so cells that statically cannot fit are rejected WITHOUT touching
+  the device — an on-device RESOURCE_EXHAUSTED can wedge the shared
+  tunnel for minutes.
 
 The workload is the fully fused jitted train step the trainer runs: uint8
 normalize + forward + loss + grad + global-norm clip + adam, bf16 compute /
@@ -13,11 +23,56 @@ f32 params, per-block remat (reference hot loop: ModelTrainer.py:71-88).
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+class PrescreenOOM(RuntimeError):
+    """Raised when the compile-only HBM prescreen rejects a cell.
+
+    Carries ``required`` / ``budget`` (bytes) so ladders can log why the
+    cell was skipped without having paid for an on-device OOM."""
+
+    def __init__(self, required: int, budget: int, detail: str = ""):
+        self.required = required
+        self.budget = budget
+        super().__init__(
+            f"static HBM requirement {required / 1e9:.2f} GB exceeds budget "
+            f"{budget / 1e9:.2f} GB{(' — ' + detail) if detail else ''}")
+
+
+def _hbm_budget() -> int:
+    """Usable HBM bound for the prescreen (bytes).
+
+    Default 15.0 GB of the v5e's 15.75 GB (the runtime reserves some);
+    override with UIRT_HBM_BUDGET (GB, float) for other chips or to force
+    cells through (e.g. UIRT_HBM_BUDGET=1e9 effectively disables skips by
+    raising the bar... set it large to ALLOW more).  Set UIRT_NO_PRESCREEN=1
+    to skip the check entirely."""
+    return int(float(os.environ.get("UIRT_HBM_BUDGET", "15.0")) * 1e9)
+
+
+def static_memory_bytes(compiled) -> Optional[int]:
+    """Total static device-memory requirement of an AOT-compiled step.
+
+    temp + arguments + outputs − donated/aliased bytes; returns None when
+    the backend doesn't expose memory_analysis (CPU)."""
+    try:
+        ma = compiled.memory_analysis()
+    except Exception:
+        return None
+    if ma is None:
+        return None
+    try:
+        return int(ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                   + ma.output_size_in_bytes - ma.alias_size_in_bytes)
+    except AttributeError:
+        return None
 
 
 def _force(x) -> float:
@@ -69,6 +124,36 @@ class TrainStepBench:
         self.step = make_train_step(
             model, LossFunction(lossf, allow_placeholder_vgg=True), tx,
             grad_accum=grad_accum, k_steps=k_steps)
+
+        # Compile-only HBM prescreen BEFORE staging any big device batch:
+        # AOT-compile the step (the jit path would compile it anyway — the
+        # persistent compile cache makes this nearly free) and reject cells
+        # whose static memory requirement cannot fit, WITHOUT dispatching.
+        # An on-device RESOURCE_EXHAUSTED wedges the shared tunnel for
+        # minutes (observed round 2), so paying a compile to avoid one is
+        # strongly net-positive.  The compiled executable is reused for the
+        # timed calls (no double compile).
+        bshape = (batch, size, size, 3) if k_steps <= 1 else (
+            k_steps, batch, size, size, 3)
+        sds = jax.ShapeDtypeStruct(bshape, jnp.uint8)
+        self.rng = jax.random.PRNGKey(1)
+        compiled = self.step.lower(self.state, sds, sds, self.rng).compile()
+        if (not os.environ.get("UIRT_NO_PRESCREEN")
+                and jax.default_backend() not in ("cpu",)):
+            req = static_memory_bytes(compiled)
+            budget = _hbm_budget()
+            if req is not None:
+                # memory_analysis counts ONE staged (raw, ref) pair (the
+                # executable's args); every additional rotated pair is also
+                # device-resident during execution
+                pair_bytes = 2 * int(np.prod(bshape))  # uint8
+                req += (max(1, n_batches) - 1) * pair_bytes
+                if req > budget:
+                    raise PrescreenOOM(
+                        req, budget,
+                        f"{arch}@{size} batch={batch} K={k_steps} "
+                        f"n_batches={n_batches}")
+        self.step = compiled
         # Host-generate only B images per staged batch and broadcast the
         # K-step stack ON DEVICE: materializing (K, B, H, W, 3) on the host
         # and shipping it through the remote-device tunnel is minutes of
@@ -85,7 +170,6 @@ class TrainStepBench:
             if k_steps > 1:  # stacked (K, B, H, W, 3) for the K-step scan
                 raw_d, ref_d = tile(raw_d), tile(ref_d)
             self.batches.append((raw_d, ref_d))
-        self.rng = jax.random.PRNGKey(1)
 
     def run(self, steps: int):
         """Dispatch ``steps`` train steps (async); returns last metrics."""
