@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Honest component attribution for the Spectral@256 train step.
+
+The first honest hardware numbers (round 3: bs16 K=2 shift 11.8 img/s,
+hybrid 18.5) sit at ~1% of the 1,880 img/s MXU roofline bound — the step is
+NOT matmul-bound, and the enqueue-rate-era ablation tables (PERF_NOTES.md
+round 1-2) cannot say what it IS bound by.  jax.profiler is unusable
+through the tunnel (op-by-op replay), so this script attributes cost by
+component ablation with the honest value-fetch harness: each cell
+monkeypatches ONE component to a shape-preserving stub, re-times the whole
+step, and the delta prices that component.
+
+Deltas are lower bounds per component (removing one component can shift
+fusion around another), but they rank the bottlenecks — which is what
+optimization needs.
+
+Usage: python experiments/honest_attribution.py [--only i,j,...]
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH, SIZE, K = 16, 256, 2
+BASE_ENV = {"UIRT_DWCONV": "hybrid"}
+
+# label -> (patch names, extra env, model_kw)
+CELLS = [
+    ("baseline", [], {}, {}),
+    # MDTA frequency branch: one fftn + one ifftn (c64, full res) per block
+    ("no-mdta-fft", ["mdta_fft"], {}, {}),
+    # UpS spectral path: fft2 + polar recombine + ifft per upsample
+    ("no-ups-fft", ["ups_fft"], {}, {}),
+    ("no-all-fft", ["mdta_fft", "ups_fft"], {}, {}),
+    # all depthwise 3x3s -> center-tap elementwise multiply (prices the
+    # dwconv chain wholesale, fwd+bwd)
+    ("no-dwconv", ["dwconv"], {}, {}),
+    # LayerNorm -> identity (prices LN's reductions + HBM traffic at the
+    # lane-padded full-res levels)
+    ("no-layernorm", ["layernorm"], {}, {}),
+    # exact-erf gelu -> tanh approx (NOT parity safe; pricing only)
+    ("fastgelu", [], {"UIRT_FAST_GELU": "1"}, {}),
+    # l2_normalize on q/k -> identity (prices the norm reductions)
+    ("no-l2norm", ["l2norm"], {}, {}),
+    # per-level honest re-run (the round-2 12.5% "negative result" on the
+    # lane-padded full-res levels came from the broken enqueue-rate harness)
+    ("no-fullres-blocks", [], {},
+     dict(num_blocks=(0, 3, 3, 4), num_refinement=0)),
+    ("no-128-blocks", [], {}, dict(num_blocks=(2, 0, 3, 4))),
+    ("no-64-blocks", [], {}, dict(num_blocks=(2, 3, 0, 4))),
+    ("no-32-blocks", [], {}, dict(num_blocks=(2, 3, 3, 0))),
+]
+
+
+def apply_patches(names):
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from underwater_image_restoration_tpu import ops
+    from underwater_image_restoration_tpu.models import spectral_transformer as st
+    from underwater_image_restoration_tpu.ops import layers as L
+    from underwater_image_restoration_tpu.parallel import cp_ops
+
+    if "mdta_fft" in names:
+        cp_ops.fftn_real_spatial = lambda x, mesh=None: x
+        cp_ops.ifftn_real_spatial = lambda x, mesh=None: x
+    if "ups_fft" in names:
+        cp_ops.fft2 = lambda x, mesh=None: x.astype(jnp.complex64)
+        cp_ops.spectral_tile_upsample = (
+            lambda mag, pha, mesh=None: jnp.repeat(
+                jnp.repeat(mag + pha, 2, axis=1), 2, axis=2))
+    if "dwconv" in names:
+        L._depthwise_conv_hybrid = (
+            lambda x, k, meta: x * k[k.shape[0] // 2, k.shape[1] // 2, 0])
+    if "layernorm" in names:
+        class _IdLN(nn.Module):
+            dtype: object = jnp.float32
+
+            @nn.compact
+            def __call__(self, x):
+                return x
+
+        st.LayerNorm = _IdLN
+    if "l2norm" in names:
+        st.l2_normalize = lambda x, axis=-1, eps=1e-12: x
+
+
+def run_cell(idx: int) -> None:
+    label, names, env, model_kw = CELLS[idx]
+    os.environ.update(BASE_ENV)
+    os.environ.update(env)
+
+    from underwater_image_restoration_tpu.cli.main import enable_compile_cache
+    from underwater_image_restoration_tpu.core.config import (
+        DEFAULT_COMPILE_CACHE,
+    )
+
+    enable_compile_cache(DEFAULT_COMPILE_CACHE)
+    apply_patches(names)
+    from underwater_image_restoration_tpu.train.benchlib import (
+        time_train_step,
+    )
+
+    r = time_train_step("SpectralTransformer", SIZE, BATCH, steps=8,
+                        windows=2, n_batches=1, k_steps=K, **model_kw)
+    print(f"{label:16s} {r:9.1f} img/s", flush=True)
+
+
+def main():
+    here = os.path.abspath(__file__)
+    indices = list(range(len(CELLS)))
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        indices = [int(x) for x in sys.argv[2].split(",")]
+    for idx in indices:
+        label = CELLS[idx][0]
+        for attempt in range(3):
+            try:
+                res = subprocess.run(
+                    [sys.executable, here, "--cell", str(idx)],
+                    capture_output=True, text=True, timeout=1500)
+                rc, out = res.returncode, (res.stdout or "").strip()
+                tail = (res.stderr or "").strip().splitlines()[-1:] or ["?"]
+            except subprocess.TimeoutExpired:
+                rc, out, tail = -9, "", ["subprocess timeout"]
+            if rc == 0 and out:
+                print(out.splitlines()[-1], flush=True)
+                break
+            print(f"# {label}: attempt {attempt + 1} rc={rc} "
+                  f"{tail[0][:110]}", flush=True)
+            if "PrescreenOOM" in tail[0]:
+                break
+            time.sleep(45)
+        else:
+            print(f"{label:16s} FAILED", flush=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--cell":
+        run_cell(int(sys.argv[2]))
+    else:
+        main()

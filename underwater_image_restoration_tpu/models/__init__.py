@@ -25,6 +25,9 @@ _USE_DWT_ARCHS = {"NewModel", "NewBigModel", "NewBigFRFNModel"}
 # size-specialized archs (window masks / drop-path schedules derive from
 # img_size); SpectralTransformer is fully size-agnostic
 _SIZE_ARCHS = {"AST", "NewModel", "NewBigModel", "NewBigFRFNModel"}
+# archs supporting lax.scan over stacked per-block params (HLO shrink for
+# the remote compile host; see SpectralTransformer.scan_blocks)
+_SCAN_ARCHS = {"SpectralTransformer"}
 
 _MODEL_FACTORY = {
     "SpectralTransformer": SpectralTransformer,
@@ -52,6 +55,8 @@ def init_model(name: str, *args, **kwargs):
         kwargs.pop("use_dwt")
     if "img_size" in kwargs and name not in _SIZE_ARCHS:
         kwargs.pop("img_size")
+    if "scan_blocks" in kwargs and name not in _SCAN_ARCHS:
+        kwargs.pop("scan_blocks")
     return _MODEL_FACTORY[name](*args, **kwargs)
 
 

@@ -225,6 +225,47 @@ class SpectralBlock(nn.Module):
         return x
 
 
+class _ScanBody(nn.Module):
+    """One SpectralBlock in ``(carry, _) -> (carry, None)`` form for
+    ``nn.scan`` (see SpectralTransformer.scan_blocks)."""
+
+    channels: int
+    num_heads: int
+    expansion_factor: float
+    dtype: object = jnp.float32
+    mesh: object = None
+    remat: bool = False
+    remat_policy: object = None
+
+    @nn.compact
+    def __call__(self, carry, _):
+        cls = make_remat(self.remat, self.remat_policy)(SpectralBlock)
+        y = cls(self.channels, self.num_heads, self.expansion_factor,
+                dtype=self.dtype, mesh=self.mesh, name="block")(carry)
+        return y, None
+
+
+def stack_scan_params(variables, num_blocks=(2, 3, 3, 4),
+                      num_refinement: int = 4):
+    """Convert a per-block SpectralTransformer param tree (scan_blocks=False
+    layout, ``enc0_0 .. enc0_1, ...``) into the scan_blocks=True layout
+    (``enc0_blocks/block`` with a stacked leading axis per leaf).
+
+    Use after ``tools.convert_checkpoint`` to run reference checkpoints
+    through the scanned (small-HLO) forward; numerics are identical
+    (test_scan_blocks.py pins equality)."""
+    nb = num_blocks
+    p = dict(variables["params"]) if "params" in variables else dict(variables)
+    stages = [("enc0", nb[0]), ("enc1", nb[1]), ("enc2", nb[2]),
+              ("enc3", nb[3]), ("dec0", nb[2]), ("dec1", nb[1]),
+              ("dec2", nb[0]), ("refinement", num_refinement)]
+    for name, n in stages:
+        blocks = [p.pop(f"{name}_{i}") for i in range(n)]
+        p[f"{name}_blocks"] = {"block": jax.tree.map(
+            lambda *xs: jnp.stack(xs), *blocks)}
+    return {"params": p} if "params" in variables else p
+
+
 class DownSample(nn.Module):
     """conv3x3 C->C/2 + pixel_unshuffle(2) => 2C @ H/2
     (reference SpectralTransformer.py:151-158)."""
@@ -325,6 +366,14 @@ class SpectralTransformer(nn.Module):
     # outputs and recomputes only elementwise ops
     remat_policy: object = None
     mesh: object = None  # ('data','context') mesh enables context parallelism
+    # lax.scan each depth-repeated stage over stacked per-block params: the
+    # HLO contains ONE block body per stage instead of num_blocks[i], which
+    # shrinks the program the remote compile service must chew (the
+    # compile-host 500s at large batch/res are its memory ceiling, not the
+    # chip's).  Param layout changes (enc0_blocks/block stacked leading axis
+    # vs enc0_0/enc0_1); stack_scan_params() converts, and numerics are
+    # identical (test_scan_blocks.py).
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -339,6 +388,18 @@ class SpectralTransformer(nn.Module):
         ups_cls = rt(UpS)
 
         def stage(y, n, c, heads, name):
+            if self.scan_blocks:
+                scan_cls = nn.scan(
+                    _ScanBody,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    length=n,
+                )
+                y, _ = scan_cls(c, heads, ef, dtype=self.dtype,
+                                mesh=self.mesh, remat=self.remat,
+                                remat_policy=self.remat_policy,
+                                name=f"{name}_blocks")(y, None)
+                return y
             for i in range(n):
                 y = block_cls(c, heads, ef, dtype=self.dtype, mesh=self.mesh,
                               name=f"{name}_{i}")(y)
