@@ -5,13 +5,13 @@ Workload = the README's canonical config (README.md:121): SpectralTransformer,
 L1withColor loss, 256^2 pairs — one fully fused jitted train step (uint8
 normalize + forward + loss + grad + global-norm clip + adam) in bf16 compute /
 f32 params, per-block remat, K=2 optimizer steps per dispatch (lax.scan;
-identical training semantics, amortizing the ~5 ms per-dispatch enqueue
-round-trip of the remote TPU tunnel — honest step times are tens of ms, so
-small K captures most of the win while each K unit costs a full stacked
-uint8 input pair in HBM), single chip.  The headline ladder
-(HEADLINE_LADDER) starts at the measured sweet spot and falls back on
-failure; cells that statically cannot fit HBM are rejected by a
-compile-only prescreen without touching the device.
+identical training semantics; the honest K-plateau is flat so K mostly
+amortizes the ~5 ms tunnel enqueue round-trip), single chip.  The headline
+ladder (HEADLINE_LADDER) starts at the best untried batch and falls back
+to the measured sweet spot (bs16, lax depthwise — 20.7 img/s honest
+pre-layout-fix; the batch plateau is flat) on failure; cells that
+statically cannot fit HBM are rejected by a compile-only prescreen without
+touching the device.
 
 The headline JSON line is printed THE MOMENT the first headline cell
 succeeds; the model zoo + inference extras then run inside a global
@@ -75,37 +75,34 @@ A100_PYTORCH_EST_IMG_PER_SEC = 40.0  # see module docstring
 # optimizer steps per dispatch amortize it with identical training
 # semantics.  Ladders fall back to smaller (batch, K) on OOM.
 #
-# Ladder cells are (batch, k_steps[, remat_policy[, env]]).
-# remat_policy="mxu" saves dot/conv/FFT outputs instead of recomputing the
-# whole block in the backward: measured -10.8% train-step flops vs full
-# remat (PERF_NOTES.md), at the cost of more residual HBM — so each ladder
-# tries the sweet-spot batch with "mxu" first and falls back to full remat
-# at the same batch if the residuals don't fit.  A cell env dict overlays
-# the ladder env (e.g. UIRT_DWCONV=hybrid: single-conv forward + cheap
-# hand-written VJP — fits bs64 where the shift-MAC lowering does not).
-# Cells whose static HBM requirement exceeds the budget are rejected by the
+# Ladder cells are (batch, k_steps[, remat_policy[, env]]).  Cells whose
+# static HBM requirement exceeds the budget are rejected by the
 # compile-only prescreen (train/benchlib.py) in ~30 s without touching the
 # device.
-HYB = {"UIRT_DWCONV": "hybrid"}
+#
+# Ladders are built from the round-3 HONEST sweep (value-fetch harness,
+# /tmp/remeasure_r3.log -> PERF_NOTES.md): the default lax depthwise path
+# beat hybrid beat shift (20.7 / 18.5 / 11.8 img/s at bs16 K=2); the batch
+# AND K plateaus are flat (bs32 K=1/2/4 all 18.0 hybrid; bs32 K=8 laxdw
+# 20.2 ≈ bs16's 20.7) so larger cells buy nothing but cost stacked-input
+# HBM; remat_policy="mxu" cells passed the 15 GB prescreen but OOM'd
+# on-device at bs32 (real peak > chip HBM), so they are dropped from the
+# ladders.
 HEADLINE_LADDER = (
-    (64, 2, "mxu", HYB), (64, 2, None, HYB), (32, 2, None, HYB),
-    (32, 2, "mxu"), (32, 2), (32, 1), (8, 1),
+    (64, 2), (64, 1), (32, 2), (16, 2), (8, 1),
 )
 ZOO = [
     # (label, arch, kwargs, size, ladder, windows, no_pallas)
     ("AST@256", "AST", {}, 256,
-     ((32, 2, "mxu", HYB), (32, 2, None, HYB), (32, 2), (32, 1), (8, 1)),
-     2, False),
+     ((32, 2), (16, 2), (8, 1)), 2, False),
     ("NewModel-Wavelet@256", "NewModel", {"use_dwt": "Wavelet"}, 256,
-     ((16, 2, "mxu", HYB), (16, 2, None, HYB), (16, 2), (16, 1), (4, 1)),
-     2, False),
+     ((16, 2), (8, 2), (4, 1)), 2, False),
     ("NewBigModel@512", "NewBigModel", {"use_dwt": "Wavelet"}, 512,
-     ((4, 2, "mxu", HYB), (4, 2, None, HYB), (4, 2), (4, 1), (1, 1)),
-     2, True),
+     ((4, 2), (2, 2), (1, 1)), 2, True),
     # reference train resolution (DataLoader.py:13-20 resizes to 1024²) —
     # the BASELINE north-star is 2500-epoch wall-clock at this res
     ("SpectralTransformer@1024", "SpectralTransformer", {}, 1024,
-     ((2, 2, None, HYB), (1, 2, None, HYB), (1, 2), (1, 1)), 2, False),
+     ((2, 2), (1, 2), (1, 1)), 2, False),
 ]
 
 

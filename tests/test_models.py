@@ -51,6 +51,32 @@ def test_spectral_transformer_forward_shape(rng):
     assert np.all(np.isfinite(np.asarray(y)))
 
 
+def test_attn_layouts_match(rng, monkeypatch):
+    """The spatial-major (blhc, default) and torch-shaped (bhcl) MDTA
+    layouts are the same math routed through different memory layouts —
+    forward AND gradients must agree to reduction-order tolerance."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3), dtype=np.float32))
+    m = models.SpectralTransformer(
+        num_blocks=(1, 1, 1, 1), num_heads=(1, 2, 2, 4),
+        channels=(8, 16, 32, 64), num_refinement=1,
+    )
+
+    def run():
+        params = m.init(jax.random.PRNGKey(0), x)
+        y, g = jax.value_and_grad(
+            lambda p: jnp.sum(jnp.tanh(m.apply(p, x))))(params)
+        return y, g
+
+    monkeypatch.setenv("UIRT_ATTN_LAYOUT", "blhc")
+    y1, g1 = run()
+    monkeypatch.setenv("UIRT_ATTN_LAYOUT", "bhcl")
+    y2, g2 = run()
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3), g1, g2)
+
+
 def test_new_model_forward_fourier(rng):
     x = jnp.asarray(rng.standard_normal((1, 32, 32, 3), dtype=np.float32))
     m = models.NewModel(img_size=32, embed_dim=8, use_dwt="Fourier")

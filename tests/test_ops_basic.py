@@ -242,8 +242,10 @@ def test_spectral_upsample_gradient_finite_at_zero_input():
 
 def test_depthwise_shift_mac_matches_lax_conv(rng, monkeypatch):
     """The shift-multiply-accumulate depthwise lowering must match the lax
-    grouped-conv lowering in forward AND gradients (it exists because the
-    lax filter-gradient lowering costs ~40x the forward in logical flops)."""
+    grouped-conv lowering in forward AND gradients.  (lax is the default —
+    honest hardware timing beat shift/hybrid despite the ~40x dense
+    filter-grad in cost_analysis, which turned out to be a counting
+    artifact; shift/hybrid remain as A/B modes.)"""
     from underwater_image_restoration_tpu.ops.layers import Conv2d
 
     x = jnp.asarray(rng.standard_normal((2, 12, 12, 6), np.float32))
@@ -256,7 +258,9 @@ def test_depthwise_shift_mac_matches_lax_conv(rng, monkeypatch):
             jnp.tanh(m.apply(p, z))), argnums=(0, 1))(params, x)
         return y, g
 
+    monkeypatch.setenv("UIRT_DWCONV", "shift")
     y1, g1 = run()
+    monkeypatch.delenv("UIRT_DWCONV")
     monkeypatch.setenv("UIRT_DWCONV_LAX", "1")
     y2, g2 = run()
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)

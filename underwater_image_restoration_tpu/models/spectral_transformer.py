@@ -24,6 +24,7 @@ channels=[16,32,64,128], num_refinement=4, expansion_factor=2.66
 """
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import einops
@@ -35,6 +36,7 @@ from ..ops import (
     Conv2d,
     LayerNorm,
     channel_attention_core,
+    channel_attention_core_nhwc,
     gelu,
     l2_normalize,
     leaky_relu,
@@ -50,6 +52,25 @@ from ..ops.spectral import (
     safe_angle,
 )
 from ..parallel import cp_ops
+
+
+_ATTN_LAYOUTS = ("blhc", "bhcl")
+
+
+def _attn_layout() -> str:
+    """MDTA data-layout selector: UIRT_ATTN_LAYOUT in {blhc, bhcl}.
+
+    ``blhc`` (default) keeps q/k/v spatial-major — heads split by pure
+    reshape, attention contracts over L in place; ``bhcl`` is the
+    torch-shaped layout whose head rearrange physically transposes full-res
+    tensors (kept for A/B).  Math identical either way (reduction order
+    differs at the ~1e-6 level; test_attn_layouts_match pins it).
+    An unrecognized value raises (silent fallback would corrupt A/Bs)."""
+    layout = os.environ.get("UIRT_ATTN_LAYOUT", "blhc")
+    if layout not in _ATTN_LAYOUTS:
+        raise ValueError(
+            f"UIRT_ATTN_LAYOUT={layout!r} — expected one of {_ATTN_LAYOUTS}")
+    return layout
 
 
 def inv_mag(x):
@@ -147,15 +168,40 @@ class MDTA(nn.Module):
         qkv = conv(c * 3, "qkv_conv", k=3, g=c * 3)(qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(t):
-            # torch reshape(b, nh, c/nh, h*w) on NCHW == split channels first
-            return einops.rearrange(t, "b h w (nh c) -> b nh c (h w)", nh=nh)
+        spatial_major = _attn_layout() == "blhc"
+        if spatial_major:
+            # (b,h,w,(nh c)) -> (b, h*w, nh, c/nh): a pure reshape (row-major
+            # contiguous splits), unlike the rearrange below which physically
+            # transposes the lane dim from C to L — 8 strided full-res HBM
+            # passes per MDTA that the honest attribution pinned as the
+            # dominant cost at the C=16/32 levels (PERF_NOTES.md round 3)
+            def heads(t):
+                return t.reshape(b, h * w, nh, t.shape[-1] // nh)
+
+            def unheads(t):
+                return t.reshape(b, h, w, t.shape[2] * t.shape[3])
+
+            norm_axis = 1  # L
+            attn_core = channel_attention_core_nhwc
+        else:
+            def heads(t):
+                # torch reshape(b, nh, c/nh, h*w) on NCHW == split channels
+                # first
+                return einops.rearrange(
+                    t, "b h w (nh c) -> b nh c (h w)", nh=nh)
+
+            def unheads(t):
+                return einops.rearrange(
+                    t, "b nh c (h w) -> b h w (nh c)", h=h, w=w)
+
+            norm_axis = -1  # L
+            attn_core = channel_attention_core
 
         q, k, v = heads(q), heads(k), heads(v)
-        q = l2_normalize(q, axis=-1)
-        k = l2_normalize(k, axis=-1)
-        attn_out, attn = channel_attention_core(q, k, v, temperature)
-        out = einops.rearrange(attn_out, "b nh c (h w) -> b h w (nh c)", h=h, w=w)
+        q = l2_normalize(q, axis=norm_axis)
+        k = l2_normalize(k, axis=norm_axis)
+        attn_out, attn = attn_core(q, k, v, temperature)
+        out = unheads(attn_out)
         out = conv(c, "project_out")(out)
 
         # frequency branch (SpectralTransformer.py:102-113); distributed FFT
@@ -168,17 +214,18 @@ class MDTA(nn.Module):
         kv = conv(c * 2, "kv_conv", k=3, g=c * 2)(kv)
         kf, vf = jnp.split(kv, 2, axis=-1)
         qf, kf, vf = heads(qf), heads(kf), heads(vf)
-        qf = l2_normalize(qf, axis=-1)
-        kf = l2_normalize(kf, axis=-1)
+        qf = l2_normalize(qf, axis=norm_axis)
+        kf = l2_normalize(kf, axis=norm_axis)
         # quirk (parity): attnf is computed against the *spatial* k but the
         # output applies the spatial attn to vf — attnf is dead
         # (SpectralTransformer.py:112-113).  We skip materializing the dead
         # matrix (it has no effect on outputs or gradients).
         outf = jnp.einsum(
-            "bhcd,bhdl->bhcl", attn, vf.astype(jnp.float32),
+            "bhcd,blhd->blhc" if spatial_major else "bhcd,bhdl->bhcl",
+            attn, vf.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
-        outf = einops.rearrange(outf, "b nh c (h w) -> b h w (nh c)", h=h, w=w)
+        outf = unheads(outf)
         return conv(c, "project_outf")(outf)
 
 

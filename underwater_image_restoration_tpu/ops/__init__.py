@@ -26,6 +26,7 @@ from .windows import (
 from .wavelets import dwt2d, idwt2d
 from .attention import (
     channel_attention_core,
+    channel_attention_core_nhwc,
     merge_heads,
     split_heads,
     sparse_mix_weights,
@@ -57,6 +58,7 @@ __all__ = [
     "dwt2d",
     "idwt2d",
     "channel_attention_core",
+    "channel_attention_core_nhwc",
     "merge_heads",
     "split_heads",
     "sparse_mix_weights",

@@ -139,3 +139,32 @@ def channel_attention_core(q, k, v, temperature):
         preferred_element_type=jnp.float32,
     )
     return out.astype(q.dtype), attn
+
+
+def channel_attention_core_nhwc(q, k, v, temperature):
+    """MDTA channel attention in the spatial-major (NHWC-native) layout.
+
+    q, k, v: (B, L, H, c_h) — obtained from the NHWC activation by a pure
+    reshape (no transpose), unlike the (B, H, c_h, L) layout of
+    ``channel_attention_core`` whose ``rearrange`` physically relayouts the
+    lane dim from C to L.  At the Spectral full-res levels (C=16/32,
+    L=65536) those transposes are 8 strided full-tensor HBM passes per MDTA;
+    the honest round-3 attribution pinned the 8 full-res blocks at ~77% of
+    the train step, so this layout exists to delete them.
+
+    Math is identical (same contractions, f32 accumulation; only reduction
+    *order* differs, ~1e-6-level): attn[c,d] = sum_L q[L,c] k[L,d];
+    out[L,c] = sum_d attn[c,d] v[L,d].  Returns (out (B,L,H,c_h),
+    attn (B,H,c_h,c_h)) — attn is shared with the frequency branch
+    (reference SpectralTransformer.py:112-113).
+    """
+    attn = jnp.einsum(
+        "blhc,blhd->bhcd", q.astype(jnp.float32), k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    attn = jax.nn.softmax(attn * temperature.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhcd,blhd->blhc", attn, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype), attn

@@ -142,11 +142,17 @@ def _dwconv_mode() -> str:
     """Depthwise lowering selector: UIRT_DWCONV in {shift, lax, hybrid}
     (UIRT_DWCONV_LAX=1 is the historical alias for lax).
 
+    Default is ``lax`` — the honest-timing A/B (round 3, value-fetch
+    harness; PERF_NOTES.md) measured Spectral@256 bs16 K=2 at lax 20.7 /
+    hybrid 18.5 / shift 11.8 img/s: the ~40x dense filter-grad flop count
+    that motivated ``shift`` was a cost_analysis artifact, not a hardware
+    cost.  ``shift``/``hybrid`` remain for A/B and HBM-shape comparisons.
+
     An unrecognized value raises: a typo silently falling back to the
     default would corrupt env-driven A/B measurements."""
     if os.environ.get("UIRT_DWCONV_LAX"):
         return "lax"
-    mode = os.environ.get("UIRT_DWCONV", "shift")
+    mode = os.environ.get("UIRT_DWCONV", "lax")
     if mode not in _DWCONV_MODES:
         raise ValueError(
             f"UIRT_DWCONV={mode!r} — expected one of {_DWCONV_MODES}")
