@@ -53,6 +53,15 @@ CELLS = [
     ("no-128-blocks", [], {}, dict(num_blocks=(2, 0, 3, 4))),
     ("no-64-blocks", [], {}, dict(num_blocks=(2, 3, 0, 4))),
     ("no-32-blocks", [], {}, dict(num_blocks=(2, 3, 3, 0))),
+    # -- round-3b: sub-block attribution (which HALF of the block binds) --
+    ("no-mdta", ["mdta"], {}, {}),
+    ("no-gdfn", ["gdfn"], {}, {}),
+    # attention core -> v passthrough: prices the gram/softmax/apply
+    # einsums while keeping qkv/kv convs, norms, and rearranges
+    ("no-attn-core", ["attn_core"], {}, {}),
+    # f32->bf16 LayerNorm statistics (prices the f32 round-trips; NOT
+    # parity-safe, pricing only)
+    ("ln-bf16", [], {"UIRT_LN_BF16": "1"}, {}),
 ]
 
 
@@ -87,6 +96,41 @@ def apply_patches(names):
         st.LayerNorm = _IdLN
     if "l2norm" in names:
         st.l2_normalize = lambda x, axis=-1, eps=1e-12: x
+    if "mdta" in names:
+        class _IdMDTA(nn.Module):
+            channels: int
+            num_heads: int
+            dtype: object = jnp.float32
+            mesh: object = None
+
+            @nn.compact
+            def __call__(self, x):
+                return x
+
+        st.MDTA = _IdMDTA
+    if "gdfn" in names:
+        class _IdGDFN(nn.Module):
+            channels: int
+            expansion_factor: float
+            dtype: object = jnp.float32
+
+            @nn.compact
+            def __call__(self, x):
+                return x
+
+        st.GDFN = _IdGDFN
+    if "attn_core" in names:
+        import underwater_image_restoration_tpu.models.spectral_transformer as _st
+
+        def _id_core(q, k, v, temperature):
+            # blhc layout only: out=v, attn=zeros of the gram shape
+            c = v.shape[-1]
+            attn = jnp.zeros(
+                (q.shape[0], temperature.shape[1], c, c), jnp.float32)
+            return v, attn
+
+        _st.channel_attention_core = _id_core
+        _st.channel_attention_core_nhwc = _id_core
 
 
 def run_cell(idx: int) -> None:

@@ -292,7 +292,13 @@ class Dense(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm over the trailing dim, torch eps (1e-5), affine."""
+    """LayerNorm over the trailing dim, torch eps (1e-5), affine.
+
+    Statistics are computed in f32 (torch semantics; bf16 mean/var over
+    C=16 would lose ~2 decimal digits).  ``UIRT_LN_BF16=1`` keeps the whole
+    op in the compute dtype as an on-hardware A/B pricing the f32
+    round-trips at the lane-padded full-res levels — NOT parity-safe, never
+    use with converted checkpoints or parity tests."""
 
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
@@ -303,11 +309,12 @@ class LayerNorm(nn.Module):
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (dim,), self.param_dtype)
-        xf = x.astype(jnp.float32)
+        ct = self.dtype if os.environ.get("UIRT_LN_BF16") else jnp.float32
+        xf = x.astype(ct)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        y = (xf - mean) * lax.rsqrt(var + self.epsilon)
-        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        y = (xf - mean) * lax.rsqrt(var + jnp.asarray(self.epsilon, ct))
+        y = y * scale.astype(ct) + bias.astype(ct)
         return y.astype(self.dtype)
 
 
