@@ -77,6 +77,51 @@ def test_attn_layouts_match(rng, monkeypatch):
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3), g1, g2)
 
 
+def test_chw_blocks_match(rng, monkeypatch):
+    """The channels-first block layout (UIRT_CHW=1; spatial minor dims, no
+    lane padding) is the same math as NHWC — forward AND gradients must
+    agree to reduction-order tolerance, with an identical param tree."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3), dtype=np.float32))
+    # channels (4, 8, ...) straddle the C < W policy boundary at 16x16:
+    # levels 0-1 (C=4<W=16, C=8<W=8? no: 8==8 stays NHWC) — level 0 flips
+    # to channels-first, deeper levels stay NHWC
+    m = models.SpectralTransformer(
+        num_blocks=(1, 1, 1, 1), num_heads=(1, 2, 2, 4),
+        channels=(4, 8, 16, 32), num_refinement=1,
+    )
+
+    def run():
+        params = m.init(jax.random.PRNGKey(0), x)
+        y, g = jax.value_and_grad(
+            lambda p: jnp.sum(jnp.tanh(m.apply(p, x))))(params)
+        return y, g
+
+    monkeypatch.delenv("UIRT_CHW", raising=False)
+    y1, g1 = run()
+    monkeypatch.setenv("UIRT_CHW", "1")
+    y2, g2 = run()
+    assert jax.tree.structure(g1) == jax.tree.structure(g2)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3), g1, g2)
+
+
+def test_chw_scan_blocks_match(rng, monkeypatch):
+    """Channels-first composes with the scanned (small-HLO) stage layout."""
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3), dtype=np.float32))
+    kw = dict(num_blocks=(2, 1, 1, 1), num_heads=(1, 2, 2, 4),
+              channels=(4, 8, 16, 32), num_refinement=2)
+    m_scan = models.SpectralTransformer(scan_blocks=True, **kw)
+    monkeypatch.setenv("UIRT_CHW", "1")
+    params = m_scan.init(jax.random.PRNGKey(0), x)
+    y_scan = m_scan.apply(params, x)
+    monkeypatch.delenv("UIRT_CHW")
+    y_plain = m_scan.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_plain),
+                               rtol=2e-5, atol=1e-5)
+
+
 def test_new_model_forward_fourier(rng):
     x = jnp.asarray(rng.standard_normal((1, 32, 32, 3), dtype=np.float32))
     m = models.NewModel(img_size=32, embed_dim=8, use_dwt="Fourier")

@@ -56,6 +56,39 @@ from ..parallel import cp_ops
 
 _ATTN_LAYOUTS = ("blhc", "bhcl")
 
+_CHW_MODES = ("0", "1", "auto")
+
+
+def _chw_enabled() -> bool:
+    """Channels-first block layout selector: UIRT_CHW in {0, 1, auto}.
+
+    NHWC with C<128 pads the lane dim (bf16 tiles are 16x128): a full-res
+    C=16 activation streams 8x its logical bytes through HBM on EVERY
+    elementwise/LN/attention intermediate, and the honest round-3
+    attribution pins the 8 full-res blocks at ~77% of the HBM-bound train
+    step (PERF_NOTES.md).  With channels-first (B, C, H, W) the minor dims
+    are spatial (256x256 at full res — zero padding); blocks at levels where
+    C < W run in that layout, with one transpose pair per stage.
+
+    "1"/"auto" enable the per-stage policy (stages with C >= W stay NHWC —
+    at the deepest level C=128 > W=32, channels-first would ADD padding);
+    "0" disables.  Math is layout-independent; equality is pinned by
+    tests/test_models.py::test_chw_blocks_match."""
+    mode = os.environ.get("UIRT_CHW", "0")
+    if mode not in _CHW_MODES:
+        raise ValueError(f"UIRT_CHW={mode!r} — expected one of {_CHW_MODES}")
+    return mode != "0"
+
+
+def _use_chw(shape, mesh) -> bool:
+    """Per-stage policy: channels-first pays when C < W (lane padding factor
+    128/C exceeds any spatial padding), and context parallelism keeps the
+    NHWC path (cp_ops shards NHWC rows)."""
+    from ..parallel.cp_ops import context_size
+
+    b, h, w, c = shape
+    return _chw_enabled() and c < w and context_size(mesh) <= 1
+
 
 def _attn_layout() -> str:
     """MDTA data-layout selector: UIRT_ATTN_LAYOUT in {blhc, bhcl}.
@@ -150,9 +183,14 @@ class MDTA(nn.Module):
     num_heads: int
     dtype: object = jnp.float32
     mesh: object = None  # context-parallel mesh for the frequency branch
+    # channels-first (B, C, H, W) data layout: identical params and math,
+    # spatial minor dims avoid the C<128 NHWC lane padding (see _chw_enabled)
+    channels_first: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.channels_first:
+            return self._call_chw(x)
         b, h, w, c = x.shape
         nh = self.num_heads
         conv = lambda feat, name, k=1, g=1: Conv2d(
@@ -228,6 +266,60 @@ class MDTA(nn.Module):
         outf = unheads(outf)
         return conv(c, "project_outf")(outf)
 
+    def _call_chw(self, x):
+        """Channels-first MDTA: (B, C, H, W) in/out.
+
+        Head split/merge are pure reshapes into the torch-shaped
+        (b, nh, c/nh, L) layout, and every intermediate keeps spatial minor
+        dims (no lane padding at C<128).  Params and math identical to the
+        NHWC path (test_chw_blocks_match)."""
+        b, c, h, w = x.shape
+        nh = self.num_heads
+        conv = lambda feat, name, k=1, g=1: Conv2d(
+            features=feat, kernel_size=k, padding=k // 2, groups=g,
+            use_bias=False, dtype=self.dtype, name=name,
+            data_format="NCHW",
+        )
+        temperature = self.param(
+            "temperature", nn.initializers.ones, (1, nh, 1, 1), jnp.float32
+        )
+
+        def heads(t):
+            return t.reshape(b, nh, t.shape[1] // nh, h * w)
+
+        def unheads(t):
+            return t.reshape(b, t.shape[1] * t.shape[2], h, w)
+
+        qkv = conv(c * 3, "qkv")(x)
+        qkv = conv(c * 3, "qkv_conv", k=3, g=c * 3)(qkv)
+        q, k, v = jnp.split(qkv, 3, axis=1)
+        q = l2_normalize(heads(q), axis=-1)
+        k = l2_normalize(heads(k), axis=-1)
+        attn_out, attn = channel_attention_core(q, k, heads(v), temperature)
+        out = conv(c, "project_out")(unheads(attn_out))
+
+        # frequency branch: qf is DEAD in the reference quirk (attnf never
+        # applied, SpectralTransformer.py:112-113) — computed here only so
+        # q1x1_1's params exist at init; XLA DCEs the whole chain.  Runs on
+        # a transposed view; dead code costs nothing.
+        x_nhwc = jnp.transpose(x, (0, 2, 3, 1))
+        x_fft = gelu(cp_ops.fftn_real_spatial(x_nhwc, None))
+        x_fft = Conv2d(c, 1, padding=0, use_bias=False, dtype=self.dtype,
+                       name="q1x1_1")(x_fft)
+        qf = jnp.transpose(cp_ops.ifftn_real_spatial(x_fft, None),
+                           (0, 3, 1, 2))
+        kv = conv(c * 2, "kv")(out)
+        kv = conv(c * 2, "kv_conv", k=3, g=c * 2)(kv)
+        kf, vf = jnp.split(kv, 2, axis=1)
+        qf = l2_normalize(heads(qf), axis=-1)  # dead (attnf quirk)
+        kf = l2_normalize(heads(kf), axis=-1)  # dead (attnf quirk)
+        del qf, kf
+        outf = jnp.einsum(
+            "bhcd,bhdl->bhcl", attn, heads(vf).astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return conv(c, "project_outf")(unheads(outf))
+
 
 class GDFN(nn.Module):
     """Gated-DConv feed-forward (reference SpectralTransformer.py:117-130)."""
@@ -235,19 +327,22 @@ class GDFN(nn.Module):
     channels: int
     expansion_factor: float
     dtype: object = jnp.float32
+    channels_first: bool = False
 
     @nn.compact
     def __call__(self, x):
         hidden = int(self.channels * self.expansion_factor)
-        y = Conv2d(hidden * 2, 1, use_bias=False, dtype=self.dtype, name="project_in")(x)
+        df = "NCHW" if self.channels_first else "NHWC"
+        ch_axis = 1 if self.channels_first else -1
+        y = Conv2d(hidden * 2, 1, use_bias=False, dtype=self.dtype,
+                   name="project_in", data_format=df)(x)
         y = Conv2d(
             hidden * 2, 3, padding=1, groups=hidden * 2, use_bias=False,
-            dtype=self.dtype, name="conv",
+            dtype=self.dtype, name="conv", data_format=df,
         )(y)
-        x1, x2 = jnp.split(y, 2, axis=-1)
-        return Conv2d(self.channels, 1, use_bias=False, dtype=self.dtype, name="project_out")(
-            gelu(x1) * x2
-        )
+        x1, x2 = jnp.split(y, 2, axis=ch_axis)
+        return Conv2d(self.channels, 1, use_bias=False, dtype=self.dtype,
+                      name="project_out", data_format=df)(gelu(x1) * x2)
 
 
 class SpectralBlock(nn.Module):
@@ -259,15 +354,19 @@ class SpectralBlock(nn.Module):
     expansion_factor: float
     dtype: object = jnp.float32
     mesh: object = None
+    channels_first: bool = False
 
     @nn.compact
     def __call__(self, x):
+        ax = 1 if self.channels_first else -1
         x = x + MDTA(self.channels, self.num_heads, dtype=self.dtype,
-                     mesh=self.mesh, name="attn")(
-            LayerNorm(dtype=self.dtype, name="norm1")(x)
+                     mesh=self.mesh, channels_first=self.channels_first,
+                     name="attn")(
+            LayerNorm(dtype=self.dtype, axis=ax, name="norm1")(x)
         )
-        x = x + GDFN(self.channels, self.expansion_factor, dtype=self.dtype, name="ffn")(
-            LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + GDFN(self.channels, self.expansion_factor, dtype=self.dtype,
+                     channels_first=self.channels_first, name="ffn")(
+            LayerNorm(dtype=self.dtype, axis=ax, name="norm2")(x)
         )
         return x
 
@@ -283,12 +382,14 @@ class _ScanBody(nn.Module):
     mesh: object = None
     remat: bool = False
     remat_policy: object = None
+    channels_first: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         cls = make_remat(self.remat, self.remat_policy)(SpectralBlock)
         y = cls(self.channels, self.num_heads, self.expansion_factor,
-                dtype=self.dtype, mesh=self.mesh, name="block")(carry)
+                dtype=self.dtype, mesh=self.mesh,
+                channels_first=self.channels_first, name="block")(carry)
         return y, None
 
 
@@ -435,6 +536,12 @@ class SpectralTransformer(nn.Module):
         ups_cls = rt(UpS)
 
         def stage(y, n, c, heads, name):
+            # channels-first block layout where it pays (C < W, no CP):
+            # one transpose pair per stage deletes the NHWC lane-padding
+            # tax on every block intermediate (see _chw_enabled)
+            cf = _use_chw(y.shape, self.mesh)
+            if cf:
+                y = jnp.transpose(y, (0, 3, 1, 2))
             if self.scan_blocks:
                 scan_cls = nn.scan(
                     _ScanBody,
@@ -445,11 +552,15 @@ class SpectralTransformer(nn.Module):
                 y, _ = scan_cls(c, heads, ef, dtype=self.dtype,
                                 mesh=self.mesh, remat=self.remat,
                                 remat_policy=self.remat_policy,
+                                channels_first=cf,
                                 name=f"{name}_blocks")(y, None)
-                return y
-            for i in range(n):
-                y = block_cls(c, heads, ef, dtype=self.dtype, mesh=self.mesh,
-                              name=f"{name}_{i}")(y)
+            else:
+                for i in range(n):
+                    y = block_cls(c, heads, ef, dtype=self.dtype,
+                                  mesh=self.mesh, channels_first=cf,
+                                  name=f"{name}_{i}")(y)
+            if cf:
+                y = jnp.transpose(y, (0, 2, 3, 1))
             return y
 
         fo = Conv2d(ch[0], 3, padding=1, use_bias=False, dtype=self.dtype,

@@ -77,6 +77,26 @@ def _dw_conv(x, k, padding):
         feature_group_count=x.shape[-1])
 
 
+def _depthwise_shift_mac_nchw(x, kernel, ksize, padding, dtype):
+    """Channel-major twin of ``_depthwise_shift_mac``: x is (B, C, H, W),
+    kernel stays (kh, kw, 1, C).  Shifts run over the two MINOR dims, so on
+    TPU the reads stream unpadded bytes when W is lane-sized — the point of
+    the channels-first block layout (see Conv2d.data_format)."""
+    kh, kw = ksize
+    ph, pw = padding
+    _, _, h, w = x.shape
+    acc_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (0, 0), (ph, ph), (pw, pw)))
+    k = kernel.astype(dtype)  # (kh, kw, 1, C)
+    y = None
+    for dh in range(kh):
+        for dw in range(kw):
+            tap = k[dh, dw, 0][None, :, None, None]  # broadcast over (H, W)
+            term = (xp[:, :, dh:dh + h, dw:dw + w] * tap).astype(acc_dtype)
+            y = term if y is None else y + term
+    return checkpoint_name(y.astype(dtype), "dwconv_out")
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _depthwise_conv_hybrid(x, k, meta):
     """Depthwise stride-1 'same' conv with a hand-written VJP.
@@ -166,6 +186,14 @@ class Conv2d(nn.Module):
     Mirrors reference usage such as ``nn.Conv2d(c, c, 3, padding=1, groups=c)``
     (depthwise, e.g. reference SpectralTransformer.py:82) and the 1x1
     projections used throughout.
+
+    ``data_format="NCHW"`` runs the conv channels-first with IDENTICAL
+    parameter shapes/names: 1x1 convs lower as a channel einsum, stride-1
+    same-pad depthwise as the channel-major shift-MAC, anything else through
+    lax with NCHW dimension numbers.  Used by the channels-first block
+    layout of the Spectral full-res levels, where NHWC's C<128 lane padding
+    makes every elementwise intermediate stream up to 8x its logical bytes
+    (PERF_NOTES.md round 3 — the full-res blocks are ~77% of the step).
     """
 
     features: int
@@ -177,12 +205,14 @@ class Conv2d(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     kernel_init: Any = torch_kernel_init
+    data_format: str = "NHWC"
 
     @nn.compact
     def __call__(self, x):
         kh, kw = _pair(self.kernel_size)
         sh, sw = _pair(self.strides)
-        in_ch = x.shape[-1]
+        cf = self.data_format == "NCHW"
+        in_ch = x.shape[1] if cf else x.shape[-1]
         assert in_ch % self.groups == 0 and self.features % self.groups == 0
         kshape = (kh, kw, in_ch // self.groups, self.features)
         kernel = self.param("kernel", self.kernel_init, kshape, self.param_dtype)
@@ -192,10 +222,29 @@ class Conv2d(nn.Module):
             ph, pw = _pair(self.padding)
             pad = [(ph, ph), (pw, pw)]
         mode = _dwconv_mode()
-        if (self.groups == in_ch == self.features and self.groups > 1
-                and (sh, sw) == (1, 1) and not isinstance(pad, str)
-                and 2 * pad[0][0] == kh - 1 and 2 * pad[1][0] == kw - 1
-                and kh * kw <= 9 and mode != "lax"):
+        is_dw_same = (
+            self.groups == in_ch == self.features and self.groups > 1
+            and (sh, sw) == (1, 1) and not isinstance(pad, str)
+            and 2 * pad[0][0] == kh - 1 and 2 * pad[1][0] == kw - 1
+            and kh * kw <= 9)
+        if cf:
+            xd, kd = x.astype(self.dtype), kernel.astype(self.dtype)
+            if (kh, kw) == (1, 1) and self.groups == 1 and (sh, sw) == (1, 1):
+                y = jnp.einsum("bchw,co->bohw", xd, kd[0, 0],
+                               preferred_element_type=jnp.float32
+                               ).astype(self.dtype)
+            elif is_dw_same and mode != "lax":
+                # hybrid's custom VJP is NHWC-only; shift-MAC autodiff is
+                # already linear-cost, so both non-lax modes share it here
+                y = _depthwise_shift_mac_nchw(x, kernel, (kh, kw), (ph, pw),
+                                              self.dtype)
+            else:
+                y = lax.conv_general_dilated(
+                    xd, kd, window_strides=(sh, sw), padding=pad,
+                    dimension_numbers=("NCHW", "HWIO", "NCHW"),
+                    feature_group_count=self.groups,
+                )
+        elif is_dw_same and mode != "lax":
             # same-padding only: the slice windows assume the padded map is
             # exactly (H+kh-1, W+kw-1)
             if mode == "hybrid":
@@ -219,7 +268,8 @@ class Conv2d(nn.Module):
             bias = self.param(
                 "bias", make_torch_bias_init(fan_in), (self.features,), self.param_dtype
             )
-            y = y + bias.astype(self.dtype)
+            b = bias.astype(self.dtype)
+            y = y + (b[None, :, None, None] if cf else b)
         return y
 
 
@@ -292,29 +342,37 @@ class Dense(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm over the trailing dim, torch eps (1e-5), affine.
+    """LayerNorm over the channel dim (``axis``, default trailing), torch
+    eps (1e-5), affine.
 
     Statistics are computed in f32 (torch semantics; bf16 mean/var over
     C=16 would lose ~2 decimal digits).  ``UIRT_LN_BF16=1`` keeps the whole
     op in the compute dtype as an on-hardware A/B pricing the f32
     round-trips at the lane-padded full-res levels — NOT parity-safe, never
-    use with converted checkpoints or parity tests."""
+    use with converted checkpoints or parity tests.
+
+    ``axis=1`` serves the channels-first block layout (params and math are
+    identical; only the reduction axis moves)."""
 
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    axis: int = -1
 
     @nn.compact
     def __call__(self, x):
-        dim = x.shape[-1]
+        dim = x.shape[self.axis]
         scale = self.param("scale", nn.initializers.ones, (dim,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (dim,), self.param_dtype)
         ct = self.dtype if os.environ.get("UIRT_LN_BF16") else jnp.float32
         xf = x.astype(ct)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        mean = jnp.mean(xf, axis=self.axis, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=self.axis, keepdims=True)
         y = (xf - mean) * lax.rsqrt(var + jnp.asarray(self.epsilon, ct))
-        y = y * scale.astype(ct) + bias.astype(ct)
+        bshape = [1] * x.ndim
+        bshape[self.axis] = dim
+        y = (y * scale.astype(ct).reshape(bshape)
+             + bias.astype(ct).reshape(bshape))
         return y.astype(self.dtype)
 
 
