@@ -96,7 +96,7 @@ def test_chw_blocks_match(rng, monkeypatch):
             lambda p: jnp.sum(jnp.tanh(m.apply(p, x))))(params)
         return y, g
 
-    monkeypatch.delenv("UIRT_CHW", raising=False)
+    monkeypatch.setenv("UIRT_CHW", "0")
     y1, g1 = run()
     monkeypatch.setenv("UIRT_CHW", "1")
     y2, g2 = run()
@@ -116,7 +116,7 @@ def test_chw_scan_blocks_match(rng, monkeypatch):
     monkeypatch.setenv("UIRT_CHW", "1")
     params = m_scan.init(jax.random.PRNGKey(0), x)
     y_scan = m_scan.apply(params, x)
-    monkeypatch.delenv("UIRT_CHW")
+    monkeypatch.setenv("UIRT_CHW", "0")
     y_plain = m_scan.apply(params, x)
     np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_plain),
                                rtol=2e-5, atol=1e-5)

@@ -44,6 +44,8 @@ from ..ops import (
     pixel_shuffle,
     pixel_unshuffle,
 )
+from ..ops import fused_block
+from ..ops.init import torch_kernel_init
 from ..ops.spectral import (
     fftn_real_spatial,
     ifftn_real_spatial,
@@ -70,13 +72,20 @@ def _chw_enabled() -> bool:
     are spatial (256x256 at full res — zero padding); blocks at levels where
     C < W run in that layout, with one transpose pair per stage.
 
-    "1"/"auto" enable the per-stage policy (stages with C >= W stay NHWC —
-    at the deepest level C=128 > W=32, channels-first would ADD padding);
-    "0" disables.  Math is layout-independent; equality is pinned by
-    tests/test_models.py::test_chw_blocks_match."""
-    mode = os.environ.get("UIRT_CHW", "0")
+    "1" enables the per-stage policy everywhere; "auto" only on non-CPU
+    backends (it is a TPU layout optimization — CPU tests stay on the NHWC
+    path, whose lax convs are far faster there); "0" disables.  Stages with
+    C >= W stay NHWC either way (at the deepest level C=128 > W=32,
+    channels-first would ADD padding).  Math is layout-independent;
+    equality is pinned by tests/test_models.py::test_chw_blocks_match.
+
+    Default "auto": hardware A/B at Spectral@256 bs16 K=2 measured
+    22.78 img/s chw vs 20.97 nhwc (+8.6%, value-fetch harness)."""
+    mode = os.environ.get("UIRT_CHW", "auto")
     if mode not in _CHW_MODES:
         raise ValueError(f"UIRT_CHW={mode!r} — expected one of {_CHW_MODES}")
+    if mode == "auto":
+        return jax.default_backend() != "cpu"
     return mode != "0"
 
 
@@ -88,6 +97,38 @@ def _use_chw(shape, mesh) -> bool:
 
     b, h, w, c = shape
     return _chw_enabled() and c < w and context_size(mesh) <= 1
+
+
+_FUSED_MODES = ("0", "1", "auto")
+
+
+def _fused_gdfn_enabled() -> bool:
+    """Fused LN+GDFN Pallas kernel selector: UIRT_FUSED_GDFN in {0, 1, auto}.
+
+    Dispatches the second half of a channels-first SpectralBlock to
+    ``ops.fused_block.fused_ln_gdfn`` — one kernel pass streaming x in and
+    y out of HBM with all intermediates in VMEM, plus a recompute-in-VMEM
+    custom VJP (no stored intermediates in the backward either).  The XLA
+    path materializes ~15x that traffic, and the honest attribution puts
+    GDFN at ~30% of the HBM-bound step (PERF_NOTES.md round 3).
+
+    "auto" enables it on non-CPU backends when the channels-first layout is
+    active and the shape qualifies (``fused_block.supports``); on CPU the
+    kernel would run in the slow Pallas interpreter, so tests opt in
+    explicitly with "1".  Equality vs the unfused path is pinned by
+    tests/test_fused_block.py (fwd + grads, via the interpreter).
+
+    Default "0" until the kernel's Mosaic lowering is proven on hardware:
+    the first TPU compile hit unsupported lane->sublane relayouts
+    ((C,)->(C,1,1) channel broadcasts) — the flat-2D rewrite is in
+    progress."""
+    mode = os.environ.get("UIRT_FUSED_GDFN", "0")
+    if mode not in _FUSED_MODES:
+        raise ValueError(
+            f"UIRT_FUSED_GDFN={mode!r} — expected one of {_FUSED_MODES}")
+    if mode == "auto":
+        return jax.default_backend() != "cpu"
+    return mode != "0"
 
 
 def _attn_layout() -> str:
@@ -345,6 +386,50 @@ class GDFN(nn.Module):
                       name="project_out", data_format=df)(gelu(x1) * x2)
 
 
+class _LNParams(nn.Module):
+    """Param-only stand-in for ``ops.LayerNorm`` (same names/shapes), used
+    when the LN compute runs inside a fused kernel instead of the module."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        return scale, bias
+
+
+class _ConvKernel(nn.Module):
+    """Param-only stand-in for ``ops.Conv2d`` (same name/shape/init)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", torch_kernel_init, self.shape,
+                          jnp.float32)
+
+
+class _GDFNParams(nn.Module):
+    """Param-only stand-in for ``GDFN`` — identical param tree
+    (ffn/{project_in,conv,project_out}/kernel), so checkpoints convert and
+    load the same whether or not the fused kernel is active."""
+
+    channels: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        g2 = 2 * self.hidden
+        w_in = _ConvKernel((1, 1, self.channels, g2), name="project_in")()
+        w_dw = _ConvKernel((3, 3, 1, g2), name="conv")()
+        w_out = _ConvKernel((1, 1, self.hidden, self.channels),
+                            name="project_out")()
+        return w_in[0, 0], w_dw[:, :, 0, :], w_out[0, 0]
+
+
 class SpectralBlock(nn.Module):
     """LN + MDTA residual, LN + GDFN residual
     (reference SpectralTransformer.py:133-148)."""
@@ -364,6 +449,14 @@ class SpectralBlock(nn.Module):
                      name="attn")(
             LayerNorm(dtype=self.dtype, axis=ax, name="norm1")(x)
         )
+        if (self.channels_first and _fused_gdfn_enabled()
+                and fused_block.supports(x.shape[2], x.shape[3])):
+            scale, bias = _LNParams(self.channels, name="norm2")()
+            w_in, w_dw, w_out = _GDFNParams(
+                self.channels, int(self.channels * self.expansion_factor),
+                name="ffn")()
+            return fused_block.fused_ln_gdfn(x, scale, bias, w_in, w_dw,
+                                             w_out)
         x = x + GDFN(self.channels, self.expansion_factor, dtype=self.dtype,
                      channels_first=self.channels_first, name="ffn")(
             LayerNorm(dtype=self.dtype, axis=ax, name="norm2")(x)
