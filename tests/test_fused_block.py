@@ -92,6 +92,31 @@ def test_fused_kernel_matches_unfused_forward_and_grads():
                                    err_msg=name)
 
 
+def test_fused_kernel_multichunk_matches(monkeypatch):
+    """Force hc=8 (H=16 -> 2 chunks) so the edge-window DMAs, guard-buffer
+    reuse, and cross-chunk dlns halo accumulation are all exercised (the
+    natural pick_hc covers these tiny shapes in one chunk)."""
+    import underwater_image_restoration_tpu.ops.fused_block as fb
+
+    monkeypatch.setattr(fb, "pick_hc", lambda h, w, c, g: 8)
+    args = _args(seed=2)
+    y_ref = _unfused(*args)
+    np.testing.assert_allclose(np.asarray(fused_ln_gdfn(*args)),
+                               np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.tanh(fn(*a)))
+
+    g_ref = jax.grad(loss(_unfused), argnums=tuple(range(6)))(*args)
+    g_f = jax.grad(loss(fused_ln_gdfn), argnums=tuple(range(6)))(*args)
+    for name, a, b in zip(["dx", "dscale", "dbias", "dwin", "dwdw", "dwout"],
+                          g_ref, g_f):
+        ref = np.asarray(a)
+        tol = 2e-5 * max(1.0, float(np.max(np.abs(ref))))
+        np.testing.assert_allclose(np.asarray(b), ref, atol=tol,
+                                   err_msg=name)
+
+
 @pytest.fixture
 def block_setup(monkeypatch):
     monkeypatch.setenv("UIRT_CHW", "1")

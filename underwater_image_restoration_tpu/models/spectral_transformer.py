@@ -112,17 +112,16 @@ def _fused_gdfn_enabled() -> bool:
     path materializes ~15x that traffic, and the honest attribution puts
     GDFN at ~30% of the HBM-bound step (PERF_NOTES.md round 3).
 
-    "auto" enables it on non-CPU backends when the channels-first layout is
-    active and the shape qualifies (``fused_block.supports``); on CPU the
-    kernel would run in the slow Pallas interpreter, so tests opt in
-    explicitly with "1".  Equality vs the unfused path is pinned by
+    "auto" (default) enables it on non-CPU backends when the channels-first
+    layout is active and the shape qualifies (``fused_block.supports``); on
+    CPU the kernel would run in the slow Pallas interpreter, so tests opt
+    in explicitly with "1".  Equality vs the unfused path is pinned by
     tests/test_fused_block.py (fwd + grads, via the interpreter).
 
-    Default "0" until the kernel's Mosaic lowering is proven on hardware:
-    the first TPU compile hit unsupported lane->sublane relayouts
-    ((C,)->(C,1,1) channel broadcasts) — the flat-2D rewrite is in
-    progress."""
-    mode = os.environ.get("UIRT_FUSED_GDFN", "0")
+    Hardware A/B (Spectral@256 bs16 K=2, value-fetch harness): 26.19 img/s
+    fused vs 22.78 unfused-chw (+15%) — within noise of the GDFN->identity
+    ablation's 26.8, i.e. the kernel makes GDFN's HBM cost ~vanish."""
+    mode = os.environ.get("UIRT_FUSED_GDFN", "auto")
     if mode not in _FUSED_MODES:
         raise ValueError(
             f"UIRT_FUSED_GDFN={mode!r} — expected one of {_FUSED_MODES}")
@@ -449,12 +448,13 @@ class SpectralBlock(nn.Module):
                      name="attn")(
             LayerNorm(dtype=self.dtype, axis=ax, name="norm1")(x)
         )
+        hid = int(self.channels * self.expansion_factor)
         if (self.channels_first and _fused_gdfn_enabled()
-                and fused_block.supports(x.shape[2], x.shape[3])):
+                and fused_block.supports(
+                    x.shape[2], x.shape[3], self.channels, hid,
+                    jnp.dtype(self.dtype).itemsize)):
             scale, bias = _LNParams(self.channels, name="norm2")()
-            w_in, w_dw, w_out = _GDFNParams(
-                self.channels, int(self.channels * self.expansion_factor),
-                name="ffn")()
+            w_in, w_dw, w_out = _GDFNParams(self.channels, hid, name="ffn")()
             return fused_block.fused_ln_gdfn(x, scale, bias, w_in, w_dw,
                                              w_out)
         x = x + GDFN(self.channels, self.expansion_factor, dtype=self.dtype,

@@ -10,27 +10,41 @@ SpectralBlocks at ~77% of the HBM-streaming-bound train step, with GDFN ~30%.
 The XLA path materializes every intermediate in HBM — LN out, project_in out
 (2h = 2*2.66*C channels), dwconv out, the gated product, project_out out —
 ~15x the minimal traffic.  This kernel streams x in and y out once; all
-intermediates live in VMEM:
+intermediates live in VMEM.
 
-- grid = (B,): each program handles one image, row-chunked so the
-  2h-channel intermediates fit VMEM; the 3x3 depthwise needs a 1-row halo,
-  provided by a zero-padded whole-image VMEM copy of x (C<=32 at the
-  full-res levels, so x is only 2-4 MB).
-- x / y stay in HBM (``memory_space=ANY``) and are moved with explicit
-  async copies — BlockSpec pipelining would double-buffer whole images.
-- matmuls (1x1 convs) run on the MXU with f32 accumulation; the depthwise
-  conv is 9 shifted VPU multiply-adds (no MXU-usable contraction);
-  LayerNorm statistics are f32 (torch semantics, matching ops.LayerNorm).
-- boundary semantics match the XLA path exactly: the zero padding applies
-  to the dwconv INPUT (project_in output), so halo rows/cols of ``t`` are
-  masked to zero rather than computed from zero-padded x.
+Layout (the part Mosaic dictates): every in-kernel tensor is 2D —
+channels on sublanes, flattened ``rows*W`` spatial on lanes.  3D chunk
+tensors hit unsupported lane->sublane relayouts (``(C,)->(C,1,1)`` channel
+broadcasts, ``(C,R,W)<->(C,R*W)`` shape casts), so instead:
 
-The backward (custom VJP) is a second Pallas kernel that recomputes the
-forward chain from x in VMEM (FlashAttention-style residual policy: only x
-and the weights are saved), so training stores no intermediates either.
-Weight gradients accumulate in f32 across the sequential TPU grid.
-Restriction: no forward-mode AD (jax.jvp) through this op — reverse-mode
-only, like ``ops.layers._depthwise_conv_hybrid``.
+- per-channel constants are ``(C, 1)`` / ``(hid, 1)`` columns that broadcast
+  along lanes;
+- the 3x3 depthwise conv is 9 statically-offset slices of a guard-padded
+  flat buffer: out[q] += tap * buf[q + (dh-1)*W + (dw-1)] — row shifts are
+  lane offsets of +-W, column shifts +-1 with iota-%-W masks killing the
+  row-wrap terms (zero-pad-equivalent);
+- the 2h gated channels are split into a/b halves ON THE HOST (hid = 2.66*C
+  is not sublane-aligned, so an in-kernel split would relayout), giving two
+  aligned matmul/shift chains;
+- grid = (B,): each program handles one image, row-chunked (``pick_hc``) so
+  the f32 chunk intermediates fit VMEM; x / y stay in HBM
+  (``memory_space=ANY``, pre-flattened to (B, C, H*W) by the host wrapper)
+  and move via explicit async copies.
+
+Numerics match the XLA path: LayerNorm statistics and affine in f32 (torch
+semantics, like ops.LayerNorm), matmuls in the compute dtype with f32
+accumulation, depthwise taps applied in f32, and erf evaluated with XLA's
+own f32 rational expansion (Mosaic has no erf primitive) — ~5e-7 max abs
+error vs lax.erf; the zero padding applies to the dwconv INPUT (project_in
+output), so halo rows of the image are masked after project_in rather than
+computed from zero-padded x.
+
+The backward (custom VJP) recomputes the forward chain from x in VMEM
+(FlashAttention-style residual policy: only x and the weights are saved),
+so training stores no intermediates either.  Weight gradients accumulate in
+f32 across the sequential TPU grid.  Restriction: no forward-mode AD
+(jax.jvp) through this op — reverse-mode only, like
+``ops.layers._depthwise_conv_hybrid``.
 
 Dispatch is routed from ``models.spectral_transformer.SpectralBlock`` when
 the channels-first layout is active (see ``_fused_gdfn_enabled`` there).
@@ -82,89 +96,209 @@ def _gelu_grad(x):
     return cdf + x * phi
 
 
+_TAPS = tuple((dh, dw) for dh in range(3) for dw in range(3))
+
+
 def pick_hc(h: int, w: int, c: int, g: int) -> int:
-    """Largest row-chunk (mult of 8, divides H) whose f32 2h-channel chunk
-    intermediates stay within a ~6 MB working-set budget (the whole-image x
-    copy, the bf16 dln scratch and Mosaic's transient copies share the
-    16 MB VMEM)."""
+    """Largest row-chunk (mult of 8, divides H) whose f32 per-half chunk
+    intermediates (~4 live (hid, hc*W) f32 buffers) stay within a ~5 MB
+    working-set budget — the whole-image x copy, the bf16 guard buffers and
+    Mosaic's transient copies share the 16 MB VMEM."""
     for hc in (64, 32, 16, 8):
         if h % hc:
             continue
-        if g * (hc + 2) * w * 4 * 3 <= 6 * 1024 * 1024:
+        if (g // 2) * hc * w * 4 * 4 <= 5 * 1024 * 1024:
             return hc
     return 8
 
 
-def _row_mask(r0, hc2: int, h: int):
-    """(1, hc2, 1) validity mask for global rows [r0-1, r0-1+hc2)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, hc2, 1), 1) + (r0 - 1)
-    return (rows >= 0) & (rows < h)
+def supports(h: int, w: int, c: int | None = None, hid: int | None = None,
+             itemsize: int = 2) -> bool:
+    """Shape gate: lane-aligned rows, chunkable columns; with (c, hid)
+    also checks the whole-image VMEM scratch budget — the backward keeps
+    x AND the dLN accumulator resident per image (1024^2 full-res would
+    need a row-banded-DMA variant; the 256^2 headline shapes fit)."""
+    if w % 128 or h % 8:
+        return False
+    if c is None or hid is None:
+        return True
+    g = 2 * hid
+    img = c * (h + 2) * w * itemsize
+    hc = pick_hc(h, w, c, g)
+    chunk = hid * hc * w * 4 * 4 + 2 * g * (hc + 2) * w * itemsize
+    return img + chunk <= 9 * 1024 * 1024
 
 
-def _ln_chunk(xf, scale, bias, eps):
-    """LayerNorm over axis 0 (channels) of an f32 (C, rows, W) chunk.
-    Returns (ln, xhat, rstd) — ln in f32 (caller casts)."""
+def _ln_flat(xf, scale, bias, eps):
+    """LayerNorm over axis 0 (channels) of an f32 (C, N) chunk; affine in
+    f32 like ops.LayerNorm.  Returns (ln, xhat, rstd)."""
     mean = jnp.mean(xf, axis=0, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=0, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
     xhat = (xf - mean) * rstd
-    return xhat * scale[:, None, None] + bias[:, None, None], xhat, rstd
+    return xhat * scale + bias, xhat, rstd
 
 
-def _fwd_kernel(x_hbm, scale_ref, bias_ref, win_ref, wdw_ref, wout_ref,
-                out_hbm, xp, stage, sem_in, sem_out, *,
-                hc: int, eps: float, dtype):
-    c, h2, w = xp.shape
-    h = h2 - 2
-    g2 = win_ref.shape[1]
-    hid = g2 // 2
+def _col_masks(w: int, n: int):
+    """Lane masks killing row-wrapped column shifts: (1, n) f32, col = lane
+    index mod W.  [dw] -> mask for the forward shift by (dw-1) columns."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) % w
+    return {
+        0: (col != 0).astype(jnp.float32),       # left neighbor: col 0 wraps
+        1: None,
+        2: (col != w - 1).astype(jnp.float32),   # right neighbor: col W-1
+    }
+
+
+def _row_mask(r0, hc: int, h: int, w: int, n2: int, halo: int = 1):
+    """(1, n2) validity of a chunk window's rows [r0-halo, r0+hc+halo):
+    only the first/last image chunks clip (whole rows => pure lane-range
+    compare, no integer div)."""
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, n2), 1)
+    lo = jnp.where(r0 == 0, halo * w, 0)
+    hi = jnp.where(r0 + hc == h, n2 - halo * w, n2)
+    return (q >= lo) & (q < hi)
+
+
+def _dw_shift_acc(buf, taps, masks, p: int, w: int, n: int, dtype):
+    """acc[q] = sum_k tap_k * buf[P + q + (dh-1)*W + (dw-1)], f32 (hid, n).
+
+    buf: (hid, L) guard ref holding (masked) y1 at [P, P+N2); taps:
+    (hid, 9) ref, k = dh*3+dw; the q-origin is row 1 of the chunk frame
+    (first valid output row), so slice starts are the static ints
+    P + dh*W + dw - 1."""
+    acc = None
+    for k, (dh, dw) in enumerate(_TAPS):
+        s = p + dh * w + dw - 1
+        tap = taps[:, k:k + 1].astype(jnp.float32)
+        term = buf[:, pl.ds(s, n)].astype(jnp.float32) * tap
+        if masks[dw] is not None:
+            term = term * masks[dw]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _dw_shift_transpose(dtbuf, taps, masks2, p: int, w: int, n2: int):
+    """Transposed conv: dy1[j] = sum_k tap_k * dt[q] with q = j - dh*W -
+    dw + 1 (the forward read y1[j = q + dh*W + dw - 1]), over the (hid, n2)
+    chunk frame; dt lives at [P+W, P+W+N) of dtbuf with zero guards, so
+    out-of-chunk reads vanish and only column wraps need masks
+    (masks2[dw]: receiving col +-1 off the row edge)."""
+    acc = None
+    for k, (dh, dw) in enumerate(_TAPS):
+        s = p + w + 1 - dh * w - dw
+        tap = taps[:, k:k + 1].astype(jnp.float32)
+        term = dtbuf[:, pl.ds(s, n2)].astype(jnp.float32) * tap
+        if masks2[dw] is not None:
+            term = term * masks2[dw]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _zero_guards(ref, p: int, n2: int, dtype):
+    hid = ref.shape[0]
+    ref[:, 0:p] = jnp.zeros((hid, p), dtype)
+    ref[:, p + n2:] = jnp.zeros((hid, ref.shape[1] - p - n2), dtype)
+
+
+def _dma_x_window(x_hbm, b, xch, sem, i, nchunks: int, hc: int, h: int,
+                  w: int, dtype, halo: int = 1):
+    """DMA the chunk-i halo window (rows i*hc-halo .. i*hc+hc+halo) of the
+    flat (C, H*W) image into ``xch`` (C, (hc+2*halo)*W), zero-filling the
+    out-of-image halo rows at the first/last chunk.  Whole-image VMEM
+    copies blow the 16 MB scoped limit at C=32 (measured: backward
+    17.94 M), so backward passes stream x per chunk instead.  halo=2
+    serves cascaded 3x3 stages (fused MDTA's v -> out -> vf chain)."""
+    c = xch.shape[0]
+    hw = halo * w
+    zrows = jnp.zeros((c, hw), dtype)
+    if nchunks == 1:
+        cp = pltpu.make_async_copy(x_hbm.at[b],
+                                   xch.at[:, pl.ds(hw, h * w)], sem)
+        cp.start()
+        xch[:, 0:hw] = zrows
+        xch[:, hw + h * w:] = zrows
+        cp.wait()
+        return
+
+    @pl.when(i == 0)
+    def _first():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(0, (hc + halo) * w)],
+            xch.at[:, pl.ds(hw, (hc + halo) * w)], sem)
+        cp.start()
+        xch[:, 0:hw] = zrows
+        cp.wait()
+
+    @pl.when(i == nchunks - 1)
+    def _last():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds((h - hc - halo) * w, (hc + halo) * w)],
+            xch.at[:, pl.ds(0, (hc + halo) * w)], sem)
+        cp.start()
+        xch[:, (hc + halo) * w:] = zrows
+        cp.wait()
+
+    @pl.when((i > 0) & (i < nchunks - 1))
+    def _mid():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(pl.multiple_of(i * hc * w - hw, 128),
+                                 (hc + 2 * halo) * w)],
+            xch.at[:], sem)
+        cp.start()
+        cp.wait()
+
+
+def _fwd_kernel(x_hbm, scale_ref, bias_ref, wina_ref, winb_ref, tapa_ref,
+                tapb_ref, wout_ref, out_hbm, xp, bufa, bufb, stage,
+                sem_in, sem_out, *, hc: int, h: int, w: int, eps: float,
+                dtype):
+    c = xp.shape[0]
+    hid = wina_ref.shape[1]
+    n, n2 = hc * w, (hc + 2) * w
+    p = w + 128
     b = pl.program_id(0)
 
-    cp_in = pltpu.make_async_copy(x_hbm.at[b], xp.at[:, pl.ds(1, h), :],
+    cp_in = pltpu.make_async_copy(x_hbm.at[b], xp.at[:, pl.ds(w, h * w)],
                                   sem_in)
     cp_in.start()
-    # zero the halo rows: their LN output is discarded (masked out of the
-    # dwconv input), but it must stay finite — scratch garbage could be NaN
-    zrow = jnp.zeros((c, 1, w), dtype)
-    xp[:, 0:1, :] = zrow
-    xp[:, h + 1:h + 2, :] = zrow
-    scale = scale_ref[0].astype(jnp.float32)
-    bias = bias_ref[0].astype(jnp.float32)
-    win = win_ref[:].astype(dtype)          # (C, 2h)
-    wdw = wdw_ref[:].astype(jnp.float32)    # (3, 3, 2h)
-    wout = wout_ref[:].astype(dtype)        # (h, C)
+    # zero halo rows (their LN output is masked out of the dwconv input but
+    # must stay finite) and the shift-guard lanes
+    zrow = jnp.zeros((c, w), dtype)
+    xp[:, 0:w] = zrow
+    xp[:, w + h * w:] = zrow
+    _zero_guards(bufa, p, n2, dtype)
+    _zero_guards(bufb, p, n2, dtype)
+    scale = scale_ref[:].astype(jnp.float32)
+    bias = bias_ref[:].astype(jnp.float32)
+    wina = wina_ref[:].astype(dtype)
+    winb = winb_ref[:].astype(dtype)
+    wout = wout_ref[:].astype(dtype)
+    masks = _col_masks(w, n)
     cp_in.wait()
 
     def chunk(i, _):
         r0 = pl.multiple_of(i * hc, hc)
-        # x rows [r0-1, r0+hc+1) == padded rows [r0, r0+hc+2)
-        xh = xp[:, pl.ds(r0, hc + 2), :].astype(jnp.float32)
-        ln, _, _ = _ln_chunk(xh, scale, bias, eps)
+        base = pl.multiple_of(r0 * w, 128)
+        basei = pl.multiple_of(base + w, 128)
+        xh = xp[:, pl.ds(base, n2)].astype(jnp.float32)
+        ln, _, _ = _ln_flat(xh, scale, bias, eps)
         ln = ln.astype(dtype)
-        y1 = jax.lax.dot_general(
-            win, ln.reshape(c, (hc + 2) * w),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        ).reshape(g2, hc + 2, w)
-        # zero the dwconv-input halo rows that fall outside the image
-        # (the XLA path zero-pads project_in's OUTPUT, not x)
-        y1 = jnp.where(_row_mask(r0, hc + 2, h), y1, 0.0).astype(dtype)
-        y1p = jnp.pad(y1, ((0, 0), (0, 0), (1, 1)))
-        acc = None
-        for dh in range(3):
-            for dw in range(3):
-                tap = wdw[dh, dw].astype(dtype)[:, None, None]
-                term = (y1p[:, dh:dh + hc, dw:dw + w] * tap).astype(
-                    jnp.float32)
-                acc = term if acc is None else acc + term
-        t1, t2 = acc[:hid], acc[hid:]
+        rmask = _row_mask(r0, hc, h, w, n2)
+        for win, buf in ((wina, bufa), (winb, bufb)):
+            y1 = jax.lax.dot_general(
+                win, ln, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            buf[:, pl.ds(p, n2)] = jnp.where(rmask, y1, 0.0).astype(dtype)
+        t1 = _dw_shift_acc(bufa, tapa_ref, masks, p, w, n, dtype)
+        t2 = _dw_shift_acc(bufb, tapb_ref, masks, p, w, n, dtype)
         o = (_gelu_exact(t1) * t2).astype(dtype)
         u = jax.lax.dot_general(
-            wout, o.reshape(hid, hc * w),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        ).reshape(c, hc, w)
-        stage[:] = xp[:, pl.ds(r0 + 1, hc), :] + u.astype(dtype)
+            wout, o, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        stage[:] = xp[:, pl.ds(basei, n)] + u.astype(dtype)
         cp_out = pltpu.make_async_copy(
-            stage, out_hbm.at[b, :, pl.ds(r0, hc), :], sem_out)
+            stage, out_hbm.at[b, :, pl.ds(base, n)], sem_out)
         cp_out.start()
         cp_out.wait()
         return 0
@@ -172,122 +306,125 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, win_ref, wdw_ref, wout_ref,
     jax.lax.fori_loop(0, h // hc, chunk, 0)
 
 
-def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, win_ref, wdw_ref,
-                wout_ref, dx_hbm, dscale_ref, dbias_ref, dwin_ref, dwdw_ref,
-                dwout_ref, xp, dlns, dych, stage, sem_in, sem_dy, sem_out, *,
-                hc: int, eps: float, dtype):
-    c, h2, w = xp.shape
-    h = h2 - 2
-    g2 = win_ref.shape[1]
-    hid = g2 // 2
+def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, wina_ref, winb_ref,
+                tapa_ref, tapb_ref, wout_ref, dx_hbm, dscale_ref, dbias_ref,
+                dwina_ref, dwinb_ref, dtapa_ref, dtapb_ref, dwout_ref,
+                xch, dlns, bufa, bufb, dtbufa, dtbufb, dych, stage,
+                sem_in, sem_dy, sem_out, *, hc: int, h: int, w: int,
+                eps: float, dtype):
+    c = xch.shape[0]
+    hid = wina_ref.shape[1]
+    n, n2 = hc * w, (hc + 2) * w
+    p = w + 128
+    nchunks = h // hc
     b = pl.program_id(0)
-
-    cp_in = pltpu.make_async_copy(x_hbm.at[b], xp.at[:, pl.ds(1, h), :],
-                                  sem_in)
-    cp_in.start()
 
     @pl.when(b == 0)
     def _init():
-        for ref in (dscale_ref, dbias_ref, dwin_ref, dwdw_ref, dwout_ref):
+        for ref in (dscale_ref, dbias_ref, dwina_ref, dwinb_ref,
+                    dtapa_ref, dtapb_ref, dwout_ref):
             ref[:] = jnp.zeros(ref.shape, ref.dtype)
 
-    zrow = jnp.zeros((c, 1, w), dtype)
-    xp[:, 0:1, :] = zrow
-    xp[:, h + 1:h + 2, :] = zrow
     dlns[:] = jnp.zeros(dlns.shape, dlns.dtype)
-    scale = scale_ref[0].astype(jnp.float32)
-    bias = bias_ref[0].astype(jnp.float32)
-    win = win_ref[:].astype(dtype)
-    winf = win_ref[:].astype(jnp.float32)
-    wdw = wdw_ref[:].astype(jnp.float32)
-    wout = wout_ref[:].astype(jnp.float32)
-    cp_in.wait()
+    _zero_guards(bufa, p, n2, dtype)
+    _zero_guards(bufb, p, n2, dtype)
+    _zero_guards(dtbufa, p + w, n, dtype)
+    _zero_guards(dtbufb, p + w, n, dtype)
+    scale = scale_ref[:].astype(jnp.float32)
+    bias = bias_ref[:].astype(jnp.float32)
+    wina = wina_ref[:].astype(dtype)
+    winb = winb_ref[:].astype(dtype)
+    wout = wout_ref[:].astype(dtype)
+    masks = _col_masks(w, n)
+    masks2 = {0: _col_masks(w, n2)[2], 1: None, 2: _col_masks(w, n2)[0]}
 
     def pass1(i, _):
         r0 = pl.multiple_of(i * hc, hc)
+        base = pl.multiple_of(r0 * w, 128)
+        basei = pl.multiple_of(base + w, 128)
         cp_dy = pltpu.make_async_copy(
-            dy_hbm.at[b, :, pl.ds(r0, hc), :], dych, sem_dy)
+            dy_hbm.at[b, :, pl.ds(base, n)], dych, sem_dy)
         cp_dy.start()
-        xh = xp[:, pl.ds(r0, hc + 2), :].astype(jnp.float32)
-        ln, _, _ = _ln_chunk(xh, scale, bias, eps)
+        _dma_x_window(x_hbm, b, xch, sem_in, i, nchunks, hc, h, w, dtype)
+        xh = xch[:].astype(jnp.float32)
+        ln, _, _ = _ln_flat(xh, scale, bias, eps)
         ln = ln.astype(dtype)
-        y1 = jax.lax.dot_general(
-            win, ln.reshape(c, (hc + 2) * w),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        ).reshape(g2, hc + 2, w)
-        mask = _row_mask(r0, hc + 2, h)
-        y1 = jnp.where(mask, y1, 0.0).astype(dtype)
-        y1p = jnp.pad(y1, ((0, 0), (0, 0), (1, 1)))
-        acc = None
-        for dh in range(3):
-            for dw in range(3):
-                tap = wdw[dh, dw].astype(dtype)[:, None, None]
-                term = (y1p[:, dh:dh + hc, dw:dw + w] * tap).astype(
-                    jnp.float32)
-                acc = term if acc is None else acc + term
-        t1, t2 = acc[:hid], acc[hid:]
+        rmask = _row_mask(r0, hc, h, w, n2)
+        for win, buf in ((wina, bufa), (winb, bufb)):
+            y1 = jax.lax.dot_general(
+                win, ln, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            buf[:, pl.ds(p, n2)] = jnp.where(rmask, y1, 0.0).astype(dtype)
+        t1 = _dw_shift_acc(bufa, tapa_ref, masks, p, w, n, dtype)
+        t2 = _dw_shift_acc(bufb, tapb_ref, masks, p, w, n, dtype)
         g1 = _gelu_exact(t1)
         cp_dy.wait()
-        du = dych[:].astype(jnp.float32).reshape(c, hc * w)   # (C, N)
+        du = dych[:].astype(dtype)
         do = jax.lax.dot_general(
             wout, du, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(hid, hc, w)
-        o = (g1 * t2).reshape(hid, hc * w)
-        dwout_ref[:] += jax.lax.dot_general(
+            preferred_element_type=jnp.float32)          # (hid, n)
+        o = (g1 * t2).astype(dtype)
+        dwout_ref[:, :] += jax.lax.dot_general(
             o, du, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dt = jnp.concatenate(
-            [do * t2 * _gelu_grad(t1), do * g1], axis=0)      # (2h, hc, W)
-        y1f = y1p.astype(jnp.float32)
-        for dh in range(3):
-            for dw in range(3):
-                dwdw_ref[dh, dw] += jnp.sum(
-                    y1f[:, dh:dh + hc, dw:dw + w] * dt, axis=(1, 2))
-        # transposed conv: dy1[row j, col cp] += k[dh,dw]*dt[j-dh, cp-dw]
-        # in the (hc+2, W+2) halo frame; realized as 9 pad-and-add placements
-        contrib = None
-        for dh in range(3):
-            for dw in range(3):
-                kdt = dt * wdw[dh, dw][:, None, None]
-                placed = jnp.pad(
-                    kdt, ((0, 0), (dh, 2 - dh), (dw, 2 - dw)))
-                contrib = placed if contrib is None else contrib + placed
-        contrib = contrib[:, :, 1:w + 1]                      # (2h, hc+2, W)
-        contrib = jnp.where(mask, contrib, 0.0)
-        c2 = contrib.reshape(g2, (hc + 2) * w)
-        dwin_ref[:] += jax.lax.dot_general(
-            ln.astype(jnp.float32).reshape(c, (hc + 2) * w), c2,
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        dln_c = jax.lax.dot_general(
-            winf, c2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(c, hc + 2, w)
-        dlns[:, pl.ds(r0, hc + 2), :] += dln_c.astype(dlns.dtype)
+            preferred_element_type=jnp.float32)          # (hid, c)
+        dta = do * t2 * _gelu_grad(t1)
+        dtb = do * g1
+        # dt rounds to the compute dtype here, as the XLA path's dwconv
+        # input-grad does when it materializes dt in bf16
+        dtbufa[:, pl.ds(p + w, n)] = dta.astype(dtype)
+        dtbufb[:, pl.ds(p + w, n)] = dtb.astype(dtype)
+        # tap grads: dtap_k = sum_q y1[q + off_k] * dt[q] (same masks as fwd)
+        for buf, dt, dtap in ((bufa, dta, dtapa_ref), (bufb, dtb, dtapb_ref)):
+            for k, (dh, dw) in enumerate(_TAPS):
+                s = p + dh * w + dw - 1
+                term = buf[:, pl.ds(s, n)].astype(jnp.float32) * dt
+                if masks[dw] is not None:
+                    term = term * masks[dw]
+                dtap[:, k:k + 1] += jnp.sum(term, axis=1, keepdims=True)
+        dln = None
+        for win, taps, dtbuf, dwin in (
+                (wina, tapa_ref, dtbufa, dwina_ref),
+                (winb, tapb_ref, dtbufb, dwinb_ref)):
+            dy1 = _dw_shift_transpose(dtbuf, taps, masks2, p, w, n2)
+            dy1 = jnp.where(rmask, dy1, 0.0).astype(dtype)
+            dwin[:, :] += jax.lax.dot_general(
+                ln, dy1, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (c, hid)
+            d = jax.lax.dot_general(
+                win, dy1, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (c, n2)
+            dln = d if dln is None else dln + d
+        dlns[:, pl.ds(base, n2)] += dln.astype(dlns.dtype)
         return 0
 
     jax.lax.fori_loop(0, h // hc, pass1, 0)
 
     def pass2(i, _):
         r0 = pl.multiple_of(i * hc, hc)
+        base = pl.multiple_of(r0 * w, 128)
+        basei = pl.multiple_of(base + w, 128)
         cp_dy = pltpu.make_async_copy(
-            dy_hbm.at[b, :, pl.ds(r0, hc), :], dych, sem_dy)
+            dy_hbm.at[b, :, pl.ds(base, n)], dych, sem_dy)
         cp_dy.start()
-        xf = xp[:, pl.ds(r0 + 1, hc), :].astype(jnp.float32)
+        cp_x = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(base, n)], xch.at[:, pl.ds(0, n)], sem_in)
+        cp_x.start()
+        cp_x.wait()
+        xf = xch[:, pl.ds(0, n)].astype(jnp.float32)
         mean = jnp.mean(xf, axis=0, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=0, keepdims=True)
         rstd = jax.lax.rsqrt(var + eps)
         xhat = (xf - mean) * rstd
-        dln = dlns[:, pl.ds(r0 + 1, hc), :].astype(jnp.float32)
-        dscale_ref[:] += jnp.sum(dln * xhat, axis=(1, 2))[None]
-        dbias_ref[:] += jnp.sum(dln, axis=(1, 2))[None]
-        ds = dln * scale[:, None, None]
+        dln = dlns[:, pl.ds(basei, n)].astype(jnp.float32)
+        dscale_ref[:, :] += jnp.sum(dln * xhat, axis=1, keepdims=True)
+        dbias_ref[:, :] += jnp.sum(dln, axis=1, keepdims=True)
+        ds = dln * scale
         dxln = rstd * (ds - jnp.mean(ds, axis=0, keepdims=True)
                        - xhat * jnp.mean(ds * xhat, axis=0, keepdims=True))
         cp_dy.wait()
         stage[:] = dych[:] + dxln.astype(dtype)
         cp_out = pltpu.make_async_copy(
-            stage, dx_hbm.at[b, :, pl.ds(r0, hc), :], sem_out)
+            stage, dx_hbm.at[b, :, pl.ds(base, n)], sem_out)
         cp_out.start()
         cp_out.wait()
         return 0
@@ -304,31 +441,48 @@ def _vmem_full(shape):
                         memory_space=pltpu.VMEM)
 
 
+def _split_weights(scale, bias, w_in, w_dw, w_out):
+    """Host-side reshapes into the kernel's aligned 2D layouts."""
+    c, g2 = w_in.shape
+    hid = g2 // 2
+    taps = w_dw.reshape(9, g2).T  # (2h, 9), k = dh*3+dw
+    return (scale.reshape(c, 1), bias.reshape(c, 1),
+            w_in[:, :hid], w_in[:, hid:], taps[:hid], taps[hid:], w_out)
+
+
 def _fwd_call(x, scale, bias, w_in, w_dw, w_out, eps, interpret):
     bsz, c, h, w = x.shape
     g2 = w_in.shape[1]
     hid = g2 // 2
     hc = pick_hc(h, w, c, g2)
-    kern = functools.partial(_fwd_kernel, hc=hc, eps=eps, dtype=x.dtype)
-    return pl.pallas_call(
+    n, n2 = hc * w, (hc + 2) * w
+    p = w + 128
+    kern = functools.partial(_fwd_kernel, hc=hc, h=h, w=w, eps=eps,
+                             dtype=x.dtype)
+    out = pl.pallas_call(
         kern,
         grid=(bsz,),
         in_specs=[
             _any_spec(),
-            _vmem_full((1, c)), _vmem_full((1, c)),
-            _vmem_full((c, g2)), _vmem_full((3, 3, g2)),
+            _vmem_full((c, 1)), _vmem_full((c, 1)),
+            _vmem_full((c, hid)), _vmem_full((c, hid)),
+            _vmem_full((hid, 9)), _vmem_full((hid, 9)),
             _vmem_full((hid, c)),
         ],
         out_specs=_any_spec(),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, c, h * w), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((c, h + 2, w), x.dtype),
-            pltpu.VMEM((c, hc, w), x.dtype),
+            pltpu.VMEM((c, (h + 2) * w), x.dtype),
+            pltpu.VMEM((hid, n2 + 2 * p), x.dtype),
+            pltpu.VMEM((hid, n2 + 2 * p), x.dtype),
+            pltpu.VMEM((c, n), x.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(x, scale.reshape(1, c), bias.reshape(1, c), w_in, w_dw, w_out)
+    )(x.reshape(bsz, c, h * w), *_split_weights(scale, bias, w_in, w_dw,
+                                                w_out))
+    return out.reshape(bsz, c, h, w)
 
 
 def _bwd_call(x, dy, scale, bias, w_in, w_dw, w_out, eps, interpret):
@@ -336,43 +490,59 @@ def _bwd_call(x, dy, scale, bias, w_in, w_dw, w_out, eps, interpret):
     g2 = w_in.shape[1]
     hid = g2 // 2
     hc = pick_hc(h, w, c, g2)
-    kern = functools.partial(_bwd_kernel, hc=hc, eps=eps, dtype=x.dtype)
+    n, n2 = hc * w, (hc + 2) * w
+    p = w + 128
+    kern = functools.partial(_bwd_kernel, hc=hc, h=h, w=w, eps=eps,
+                             dtype=x.dtype)
     f32 = jnp.float32
-    dx, dsc, dbi, dwi, dwd, dwo = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid=(bsz,),
         in_specs=[
             _any_spec(), _any_spec(),
-            _vmem_full((1, c)), _vmem_full((1, c)),
-            _vmem_full((c, g2)), _vmem_full((3, 3, g2)),
+            _vmem_full((c, 1)), _vmem_full((c, 1)),
+            _vmem_full((c, hid)), _vmem_full((c, hid)),
+            _vmem_full((hid, 9)), _vmem_full((hid, 9)),
             _vmem_full((hid, c)),
         ],
         out_specs=[
             _any_spec(),
-            _vmem_full((1, c)), _vmem_full((1, c)),
-            _vmem_full((c, g2)), _vmem_full((3, 3, g2)),
+            _vmem_full((c, 1)), _vmem_full((c, 1)),
+            _vmem_full((c, hid)), _vmem_full((c, hid)),
+            _vmem_full((hid, 9)), _vmem_full((hid, 9)),
             _vmem_full((hid, c)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((1, c), f32),
-            jax.ShapeDtypeStruct((1, c), f32),
-            jax.ShapeDtypeStruct((c, g2), f32),
-            jax.ShapeDtypeStruct((3, 3, g2), f32),
+            jax.ShapeDtypeStruct((bsz, c, h * w), x.dtype),
+            jax.ShapeDtypeStruct((c, 1), f32),
+            jax.ShapeDtypeStruct((c, 1), f32),
+            jax.ShapeDtypeStruct((c, hid), f32),
+            jax.ShapeDtypeStruct((c, hid), f32),
+            jax.ShapeDtypeStruct((hid, 9), f32),
+            jax.ShapeDtypeStruct((hid, 9), f32),
             jax.ShapeDtypeStruct((hid, c), f32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c, h + 2, w), x.dtype),
-            pltpu.VMEM((c, h + 2, w), x.dtype),
-            pltpu.VMEM((c, hc, w), x.dtype),
-            pltpu.VMEM((c, hc, w), x.dtype),
+            pltpu.VMEM((c, n2), x.dtype),
+            pltpu.VMEM((c, (h + 2) * w), x.dtype),
+            pltpu.VMEM((hid, n2 + 2 * p), x.dtype),
+            pltpu.VMEM((hid, n2 + 2 * p), x.dtype),
+            pltpu.VMEM((hid, n + 2 * (p + w)), x.dtype),
+            pltpu.VMEM((hid, n + 2 * (p + w)), x.dtype),
+            pltpu.VMEM((c, n), x.dtype),
+            pltpu.VMEM((c, n), x.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(x, dy, scale.reshape(1, c), bias.reshape(1, c), w_in, w_dw, w_out)
-    return dx, dsc.reshape(c), dbi.reshape(c), dwi, dwd, dwo
+    )(x.reshape(bsz, c, h * w), dy.reshape(bsz, c, h * w),
+      *_split_weights(scale, bias, w_in, w_dw, w_out))
+    dx, dsc, dbi, dwia, dwib, dta, dtb, dwo = outs
+    dwin = jnp.concatenate([dwia, dwib], axis=1)
+    dwdw = jnp.concatenate([dta, dtb], axis=0).T.reshape(3, 3, g2)
+    return (dx.reshape(x.shape), dsc.reshape(c), dbi.reshape(c),
+            dwin, dwdw, dwo)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -395,11 +565,6 @@ def _vjp_bwd(eps, interpret, res, dy):
 
 
 _fused_ln_gdfn.defvjp(_vjp_fwd, _vjp_bwd)
-
-
-def supports(h: int, w: int) -> bool:
-    """Shape gate: lane-aligned rows, chunkable columns."""
-    return w % 128 == 0 and h % 8 == 0
 
 
 def fused_ln_gdfn(x, scale, bias, w_in, w_dw, w_out, *, eps: float = 1e-5,
