@@ -44,7 +44,7 @@ from ..ops import (
     pixel_shuffle,
     pixel_unshuffle,
 )
-from ..ops import fused_block
+from ..ops import fused_attn, fused_block
 from ..ops.init import torch_kernel_init
 from ..ops.spectral import (
     fftn_real_spatial,
@@ -125,6 +125,26 @@ def _fused_gdfn_enabled() -> bool:
     if mode not in _FUSED_MODES:
         raise ValueError(
             f"UIRT_FUSED_GDFN={mode!r} — expected one of {_FUSED_MODES}")
+    if mode == "auto":
+        return jax.default_backend() != "cpu"
+    return mode != "0"
+
+
+def _fused_attn_enabled() -> bool:
+    """Fused LN+MDTA Pallas kernel selector: UIRT_FUSED_ATTN in {0,1,auto}.
+
+    Dispatches the first half of a channels-first SpectralBlock to
+    ``ops.fused_attn.fused_ln_mdta`` — two streaming passes (gram/norm
+    stats, then the v->attn->out->kv->vf->attn->project chain) with a
+    recompute-in-VMEM custom VJP; the honest attribution puts MDTA at ~47%
+    of the HBM-bound step (PERF_NOTES.md round 3).  Semantics as
+    _fused_gdfn_enabled; equality pinned by tests/test_fused_attn.py.
+
+    Default "0" until the Mosaic lowering is proven on hardware."""
+    mode = os.environ.get("UIRT_FUSED_ATTN", "0")
+    if mode not in _FUSED_MODES:
+        raise ValueError(
+            f"UIRT_FUSED_ATTN={mode!r} — expected one of {_FUSED_MODES}")
     if mode == "auto":
         return jax.default_backend() != "cpu"
     return mode != "0"
@@ -429,6 +449,33 @@ class _GDFNParams(nn.Module):
         return w_in[0, 0], w_dw[:, :, 0, :], w_out[0, 0]
 
 
+class _MDTAParams(nn.Module):
+    """Param-only stand-in for ``MDTA`` — identical tree
+    (attn/{qkv,qkv_conv,project_out,q1x1_1,kv,kv_conv,project_outf}/kernel
+    + attn/temperature), so checkpoints load the same whether the fused
+    attention kernel or the module runs.  q1x1_1 belongs to the dead
+    frequency-q chain (attnf quirk) — declared for tree parity, zero grad
+    either way."""
+
+    channels: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.channels
+        temp = self.param("temperature", nn.initializers.ones,
+                          (1, self.num_heads, 1, 1), jnp.float32)
+        w_qkv = _ConvKernel((1, 1, c, c * 3), name="qkv")()
+        t_qkv = _ConvKernel((3, 3, 1, c * 3), name="qkv_conv")()
+        w_po = _ConvKernel((1, 1, c, c), name="project_out")()
+        _ConvKernel((1, 1, c, c), name="q1x1_1")()
+        w_kv = _ConvKernel((1, 1, c, c * 2), name="kv")()
+        t_kv = _ConvKernel((3, 3, 1, c * 2), name="kv_conv")()
+        w_pof = _ConvKernel((1, 1, c, c), name="project_outf")()
+        return (w_qkv[0, 0], t_qkv[:, :, 0, :], temp, w_po[0, 0],
+                w_kv[0, 0], t_kv[:, :, 0, :], w_pof[0, 0])
+
+
 class SpectralBlock(nn.Module):
     """LN + MDTA residual, LN + GDFN residual
     (reference SpectralTransformer.py:133-148)."""
@@ -443,11 +490,23 @@ class SpectralBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         ax = 1 if self.channels_first else -1
-        x = x + MDTA(self.channels, self.num_heads, dtype=self.dtype,
-                     mesh=self.mesh, channels_first=self.channels_first,
-                     name="attn")(
-            LayerNorm(dtype=self.dtype, axis=ax, name="norm1")(x)
-        )
+        if (self.channels_first and _fused_attn_enabled()
+                and fused_attn.supports(
+                    x.shape[2], x.shape[3], self.channels,
+                    jnp.dtype(self.dtype).itemsize)):
+            scale1, bias1 = _LNParams(self.channels, name="norm1")()
+            w_qkv, t_qkv, temp, w_po, w_kv, t_kv, w_pof = _MDTAParams(
+                self.channels, self.num_heads, name="attn")()
+            x = fused_attn.fused_ln_mdta(
+                x, scale1, bias1, w_qkv, t_qkv, temp, w_po, w_kv, t_kv,
+                w_pof, num_heads=self.num_heads)
+        else:
+            x = x + MDTA(self.channels, self.num_heads, dtype=self.dtype,
+                         mesh=self.mesh,
+                         channels_first=self.channels_first,
+                         name="attn")(
+                LayerNorm(dtype=self.dtype, axis=ax, name="norm1")(x)
+            )
         hid = int(self.channels * self.expansion_factor)
         if (self.channels_first and _fused_gdfn_enabled()
                 and fused_block.supports(
