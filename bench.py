@@ -7,18 +7,21 @@ normalize + forward + loss + grad + global-norm clip + adam) in bf16 compute /
 f32 params, per-block remat, K=2 optimizer steps per dispatch (lax.scan;
 identical training semantics; the honest K-plateau is flat so K mostly
 amortizes the ~5 ms tunnel enqueue round-trip), single chip.  The headline
-ladder (HEADLINE_LADDER) starts at the best untried batch and falls back
-to the measured sweet spot (bs16, lax depthwise — 20.7 img/s honest
-pre-layout-fix; the batch plateau is flat) on failure; cells that
+ladder (HEADLINE_LADDER) starts at the measured sweet spot (bs16 K=2 —
+29.9 img/s honest with the round-4 default chw layout + fused LN+MDTA +
+fused LN+GDFN Pallas kernels; the batch plateau is flat) and falls back
+to smaller cells on failure; cells that
 statically cannot fit HBM are rejected by a compile-only prescreen without
 touching the device.
 
 The headline JSON line is printed THE MOMENT the first headline cell
 succeeds; the model zoo + inference extras then run inside a global
-deadline (UIRT_BENCH_DEADLINE_S, default 1200 s) and an enriched JSON line
-is printed last — so a driver timeout can never again produce an empty
-BENCH file (BENCH_r02 was rc=124/parsed=null because the single JSON line
-waited on every ladder).
+deadline (UIRT_BENCH_DEADLINE_S, default 900 s) enforced BETWEEN LADDER
+CELLS, with per-cell subprocess timeouts capped by the remaining budget,
+and an enriched JSON line is printed last.  A SIGTERM/SIGINT handler
+prints the best-known JSON as the process's final line, so even a driver
+kill parses (BENCH_r01-r03 were all rc=124/parsed=null: the killed
+process's last output line was a stderr progress note).
 
 Timing windows are closed by a HOST VALUE FETCH of the final loss (which
 data-depends, through state donation, on every step in the window) — NOT
@@ -45,10 +48,40 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
 T0 = time.time()
+
+# The driver kills long benches (BENCH_r01-r03 all ended rc=124 with
+# parsed=null: the killed process's last output line was a stderr progress
+# note, and the driver parses the LAST line).  Defense in depth:
+#   1. a hard internal deadline (default 900 s — BENCH_r03 shows the driver
+#      kill landing somewhere past +1375 s, so 900 + one worst-case ~300 s
+#      remote compile still exits first);
+#   2. `time_left` checked between LADDER CELLS, not just between archs
+#      (r03: NewBigModel's ladder kept dispatching at +1375 s);
+#   3. per-cell subprocess timeouts capped by the remaining budget;
+#   4. a SIGTERM handler that prints the best-known JSON as the very last
+#      line and exits — so even a driver kill parses.
+DEADLINE = T0 + float(os.environ.get("UIRT_BENCH_DEADLINE_S", "900"))
+BEST_JSON: str | None = None
+
+
+def time_left(margin: float = 120.0) -> bool:
+    return time.time() < DEADLINE - margin
+
+
+def _remaining() -> float:
+    return DEADLINE - time.time()
+
+
+def _on_term(signum, frame):  # pragma: no cover - driver-kill path
+    if BEST_JSON is not None:
+        sys.stderr.flush()
+        print(BEST_JSON, flush=True)
+    os._exit(0)
 
 
 def _note(msg: str) -> None:
@@ -98,16 +131,21 @@ HEADLINE_LADDER = (
 )
 ZOO = [
     # (label, arch, kwargs, size, ladder, windows, no_pallas)
+    # AST starts at bs16: bs32 has NEVER succeeded (r02/r03 tails — OOM or
+    # prescreen-rejected) and each rejection costs a ~300 s remote compile.
     ("AST@256", "AST", {}, 256,
-     ((32, 2), (16, 2), (8, 1)), 2, False),
+     ((16, 2), (8, 1)), 2, False),
     ("NewModel-Wavelet@256", "NewModel", {"use_dwt": "Wavelet"}, 256,
-     ((16, 2), (8, 2), (4, 1)), 2, False),
+     ((16, 2), (8, 2)), 2, False),
+    # bs4 was prescreen-rejected twice at 15.95 GB (BENCH_r03) — lead with
+    # the known-good bs2 so the ladder lands a number instead of burning
+    # ~300 s on a deterministic rejection.
     ("NewBigModel@512", "NewBigModel", {"use_dwt": "Wavelet"}, 512,
-     ((4, 2), (2, 2), (1, 1)), 2, True),
+     ((2, 2), (1, 1)), 2, True),
     # reference train resolution (DataLoader.py:13-20 resizes to 1024²) —
     # the BASELINE north-star is 2500-epoch wall-clock at this res
     ("SpectralTransformer@1024", "SpectralTransformer", {}, 1024,
-     ((2, 2), (1, 2), (1, 1)), 2, False),
+     ((1, 2), (1, 1)), 2, False),
 ]
 
 
@@ -135,9 +173,14 @@ def _run_cell_subprocess(spec: dict, timeout_s: int = 1500) -> float:
     backend for the rest of the process (observed: every subsequent cell
     then OOMs even at trivial sizes), which would turn a single transient
     contention OOM into a fully failed ladder.  The subprocess prints the
-    img/s number as its last stdout line; stderr passes through."""
+    img/s number as its last stdout line; stderr passes through.
+
+    The timeout is additionally capped by the global bench deadline (minus
+    a 30 s margin to log + print the final JSON): a cell may never outlive
+    the bench (BENCH_r03 died because one did)."""
     import subprocess
 
+    timeout_s = max(60.0, min(timeout_s, _remaining() - 30.0))
     res = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--cell",
          json.dumps(spec)],
@@ -202,9 +245,15 @@ def _run_ladder(arch: str, size: int, ladder, *, windows: int,
     the bench.  Each cell runs in a fresh subprocess (_run_cell_subprocess)
     so one OOM can't wedge the backend for the rest of the ladder; the
     top-of-ladder cell gets a second attempt because transient contention
-    OOMs at the sweet spot are common and the fallback cells are slower."""
+    OOMs at the sweet spot are common and the fallback cells are slower.
+
+    The global bench deadline is enforced BETWEEN CELLS (BENCH_r03 overran
+    the driver kill because a ladder kept dispatching past the deadline);
+    when the budget is gone the ladder raises immediately."""
     last_err = None
     for ci, cell in enumerate(ladder):
+        if not time_left():
+            raise last_err or TimeoutError("bench deadline before ladder ran")
         if not isinstance(cell, tuple):
             cell = (cell, 1)
         batch, k = cell[0], cell[1]
@@ -228,7 +277,7 @@ def _run_ladder(arch: str, size: int, ladder, *, windows: int,
                 last_err = e
                 if getattr(e, "permanent", False):
                     break  # prescreen rejection: deterministic, no retry
-                if ci == 0 and attempt == 0:
+                if ci == 0 and attempt == 0 and time_left():
                     time.sleep(30)
     raise last_err
 
@@ -241,12 +290,16 @@ def _probe_device(attempts: int = 3, timeout_s: int = 300) -> bool:
     import subprocess
 
     for i in range(attempts):
+        if not time_left(margin=60.0):
+            _note("device probe: out of budget")
+            return False
         _note(f"device probe {i + 1}/{attempts} ...")
         try:
             res = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; print(len(jax.devices()))"],
-                capture_output=True, text=True, timeout=timeout_s,
+                capture_output=True, text=True,
+                timeout=max(30.0, min(timeout_s, _remaining() - 30.0)),
             )
             if res.returncode == 0 and res.stdout.strip():
                 _note(f"device probe ok: {res.stdout.strip().splitlines()[-1]}"
@@ -278,18 +331,22 @@ def _headline_json(imgs_per_sec: float, **extra) -> str:
 
 
 def main():
-    # Global wall-clock deadline: the driver kills long benches (BENCH_r02
-    # died at rc=124 with the headline JSON still unprinted).  The headline
-    # number is printed THE MOMENT it exists; everything after is
-    # best-effort inside the remaining budget, re-printed as an enriched
+    # The headline number is printed THE MOMENT it exists; everything after
+    # is best-effort inside the remaining budget, re-printed as an enriched
     # final JSON line (the driver parses the last line; either parses).
-    deadline = T0 + float(os.environ.get("UIRT_BENCH_DEADLINE_S", "1200"))
-
-    def time_left(margin: float = 120.0) -> bool:
-        return time.time() < deadline - margin
+    global BEST_JSON
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
 
     from underwater_image_restoration_tpu.cli.main import enable_compile_cache
 
+    BEST_JSON = json.dumps({
+        "metric": "UIEB 256^2 SpectralTransformer train-step throughput",
+        "value": 0.0,
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+        "error": "bench killed before the headline cell finished",
+    })
     if not _probe_device():
         print(json.dumps({
             "metric": "UIEB 256^2 SpectralTransformer train-step throughput",
@@ -308,7 +365,8 @@ def main():
     enable_compile_cache(DEFAULT_COMPILE_CACHE)
     imgs_per_sec = _run_ladder("SpectralTransformer", SIZE, HEADLINE_LADDER,
                                windows=3)
-    print(_headline_json(imgs_per_sec), flush=True)
+    BEST_JSON = _headline_json(imgs_per_sec)
+    print(BEST_JSON, flush=True)
 
     archs = {}
     for label, arch, kw, size, ladder, windows, no_pallas in ZOO:
@@ -322,6 +380,7 @@ def main():
                             **kw), 2)
         except Exception as e:
             archs[label] = f"failed: {type(e).__name__}"
+        BEST_JSON = _headline_json(imgs_per_sec, archs=dict(archs))
 
     # Serving-side number: the jitted uint8->forward inference path
     # (eval/evaluate.py batched dispatch).  Ladder falls back on OOM.
@@ -340,8 +399,9 @@ def main():
         except Exception as e:
             _note(f"infer batch={batch} failed: {type(e).__name__}")
 
-    print(_headline_json(imgs_per_sec, archs=archs, inference=infer),
-          flush=True)
+    BEST_JSON = _headline_json(imgs_per_sec, archs=archs, inference=infer)
+    sys.stderr.flush()
+    print(BEST_JSON, flush=True)
 
 
 if __name__ == "__main__":
