@@ -26,7 +26,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH, SIZE, K = 16, 256, 2
-BASE_ENV = {"UIRT_DWCONV": "hybrid"}
+# Round-3 tables were taken with {"UIRT_DWCONV": "hybrid"}; round 4 runs
+# the shipping defaults (lax dwconv + chw layout + fused LN+MDTA and
+# LN+GDFN Pallas kernels at the qualifying levels).  NOTE: with the fused
+# kernels on, the mdta/gdfn/layernorm/l2norm/attn_core patches only reach
+# the UNFUSED instances (128²/64²/32² levels) — the full-res blocks route
+# around the patched modules, which is exactly what round 4 needs priced.
+BASE_ENV: dict = {}
 
 # label -> (patch names, extra env, model_kw)
 CELLS = [

@@ -42,8 +42,14 @@ from ..ops import (
 )
 from ..ops.resample import image_to_tokens, tokens_to_image
 from ..ops.attention import merge_heads, split_heads, window_attention_core
-from .blocks import WindowAttentionSparse, make_token_mlp
-from ..ops import Dense
+from .blocks import (
+    WindowAttentionSparse,
+    _LeFFParams,
+    _LNParams,
+    fused_leff_enabled,
+    make_token_mlp,
+)
+from ..ops import Dense, fused_leff
 from ..parallel import cp_ops
 
 
@@ -171,8 +177,27 @@ class ASTTransformerBlock(nn.Module):
                 img = cp_ops.roll2d(img, ss, ss, self.mesh)
             x = shortcut + dp(image_to_tokens(img), deterministic=deterministic)
 
+        hid = int(self.dim * self.mlp_ratio)
+        if (self.token_mlp == "leff" and fused_leff_enabled()
+                and cp_ops.context_size(self.mesh) <= 1
+                and fused_leff.supports(h, w, c, hid,
+                                        jnp.dtype(self.dtype).itemsize)):
+            # fused LN+LeFF Pallas kernel on the channels-first layout
+            # (ops/fused_leff.py); params declared with the same tree as
+            # the unfused modules so checkpoints are path-oblivious.  The
+            # DropPath scale is drawn through the same module (same rng
+            # stream) and applied in-kernel per sample.
+            ln_scale, ln_bias = _LNParams(c, name="norm2")()
+            w1, b1, taps, bdw, w2, b2 = _LeFFParams(self.dim, hid,
+                                                    name="mlp")()
+            s = dp(jnp.ones((b, 1, 1), jnp.float32),
+                   deterministic=deterministic).reshape(b)
+            xc = jnp.transpose(tokens_to_image(x, h, w), (0, 3, 1, 2))
+            yc = fused_leff.fused_ln_leff(xc, ln_scale, ln_bias, w1, b1,
+                                          taps, bdw, w2, b2, s)
+            return image_to_tokens(jnp.transpose(yc, (0, 2, 3, 1)))
         y = LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = make_token_mlp(self.token_mlp, self.dim, int(self.dim * self.mlp_ratio),
+        y = make_token_mlp(self.token_mlp, self.dim, hid,
                            self.dtype, "mlp")(y)
         return x + dp(y, deterministic=deterministic)
 

@@ -44,9 +44,97 @@ from ..ops import (
     window_partition,
     window_reverse,
 )
-from ..ops.init import trunc_normal_init
+from ..ops.init import (
+    make_torch_bias_init,
+    torch_kernel_init,
+    trunc_normal_init,
+)
 from ..ops.resample import image_to_tokens, tokens_to_image
 from ..parallel import cp_ops
+
+_FUSED_MODES = ("0", "1", "auto")
+
+
+def fused_leff_enabled() -> bool:
+    """Fused LN+LeFF Pallas kernel selector: UIRT_FUSED_LEFF in {0,1,auto}.
+
+    Dispatches the token-MLP half of an ``ASTTransformerBlock`` (and the
+    New* encoder blocks with ``token_mlp='leff'``) to
+    ``ops.fused_leff.fused_ln_leff`` — a fully banded kernel streaming x
+    in halo windows with a rolling lag-1 LayerNorm-backward finalization
+    (no whole-image VMEM buffers), plus a recompute-in-VMEM custom VJP.
+    Semantics as spectral_transformer._fused_gdfn_enabled; equality
+    pinned by tests/test_fused_leff.py.
+
+    "auto" (default) enables it on non-CPU backends when the shape
+    qualifies (``fused_leff.supports``); CPU tests opt in with "1"."""
+    import os
+
+    mode = os.environ.get("UIRT_FUSED_LEFF", "auto")
+    if mode not in _FUSED_MODES:
+        raise ValueError(
+            f"UIRT_FUSED_LEFF={mode!r} — expected one of {_FUSED_MODES}")
+    if mode == "auto":
+        return jax.default_backend() != "cpu"
+    return mode != "0"
+
+
+class _LNParams(nn.Module):
+    """Param-only stand-in for ``ops.LayerNorm`` (same names/shapes), used
+    when the LN compute runs inside a fused kernel instead of the module."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Param-only stand-in for ``ops.Dense`` (same names/shapes/init)."""
+
+    shape: tuple  # (in_features, out_features)
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", torch_kernel_init, self.shape, jnp.float32)
+        b = self.param("bias", make_torch_bias_init(self.shape[0]),
+                       (self.shape[1],), jnp.float32)
+        return k, b
+
+
+class _ConvParams(nn.Module):
+    """Param-only stand-in for ``ops.Conv2d`` incl. bias (same init)."""
+
+    shape: tuple  # (kh, kw, in_per_group, out)
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", torch_kernel_init, self.shape, jnp.float32)
+        fan_in = self.shape[0] * self.shape[1] * self.shape[2]
+        b = self.param("bias", make_torch_bias_init(fan_in),
+                       (self.shape[3],), jnp.float32)
+        return k, b
+
+
+class _LeFFParams(nn.Module):
+    """Param-only stand-in for ``LeFF`` — identical param tree
+    (mlp/{linear1,dwconv,linear2}/{kernel,bias}), so checkpoints convert
+    and load the same whether or not the fused kernel is active."""
+
+    dim: int
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams((self.dim, self.hidden_dim), name="linear1")()
+        wd, bd = _ConvParams((3, 3, 1, self.hidden_dim), name="dwconv")()
+        w2, b2 = _DenseParams((self.hidden_dim, self.dim), name="linear2")()
+        return w1, b1, wd[:, :, 0, :], bd, w2, b2
 
 
 class InputProjection(nn.Module):

@@ -32,14 +32,18 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import DropPath, LayerNorm, Dense, dwt2d, idwt2d, make_remat
+from ..ops import DropPath, LayerNorm, Dense, dwt2d, fused_leff, idwt2d, make_remat
 from ..ops.resample import image_to_tokens, tokens_to_image
+from ..parallel import cp_ops
 from .blocks import (
     Downsample,
     InputProjection,
     MDASSA,
     OutputProjection,
     Upsample,
+    _LeFFParams,
+    _LNParams,
+    fused_leff_enabled,
     make_token_mlp,
 )
 
@@ -74,8 +78,23 @@ class EncoderBlock(nn.Module):
 
         shortcut = x
         freq_x = LayerNorm(dtype=self.dtype, name="norm2")(x)
-        x = LayerNorm(dtype=self.dtype, name="norm1")(x)
-        x = make_token_mlp(self.token_mlp, self.dim, hidden, self.dtype, "mlp")(x)
+        if (self.token_mlp == "leff" and fused_leff_enabled()
+                and fused_leff.supports(h, w, c, hidden,
+                                        jnp.dtype(self.dtype).itemsize)):
+            # fused LN+LeFF Pallas kernel (ops/fused_leff.py), branch-only
+            # (residual=False): the unscaled branch output also feeds the
+            # Fourier quirk below, so DropPath stays outside.
+            ln_s, ln_b = _LNParams(c, name="norm1")()
+            w1, b1, taps, bdw, w2, b2 = _LeFFParams(self.dim, hidden,
+                                                    name="mlp")()
+            xc = jnp.transpose(tokens_to_image(x, h, w), (0, 3, 1, 2))
+            yc = fused_leff.fused_ln_leff(xc, ln_s, ln_b, w1, b1, taps,
+                                          bdw, w2, b2, residual=False)
+            x = image_to_tokens(jnp.transpose(yc, (0, 2, 3, 1)))
+        else:
+            x = LayerNorm(dtype=self.dtype, name="norm1")(x)
+            x = make_token_mlp(self.token_mlp, self.dim, hidden, self.dtype,
+                               "mlp")(x)
 
         if self.use_dwt == "Wavelet":
             freq_img = dwt2d(tokens_to_image(freq_x, h, w))
@@ -150,13 +169,37 @@ class DecoderBlock(nn.Module):
         )(x)
         y = x + shortcut
         x = x + shortcut
-        x = LayerNorm(dtype=self.dtype, name="norm2")(x)
-        x = make_token_mlp(
-            self.token_mlp, mdssa_dim, int(mdssa_dim * self.mlp_ratio), self.dtype, "mlp"
-        )(x)
-        x = y + DropPath(self.drop_path, name="drop_path")(
-            x, deterministic=deterministic
-        )
+        b, l, c2 = x.shape
+        h = w = int(math.sqrt(l))
+        hid = int(mdssa_dim * self.mlp_ratio)
+        if (self.token_mlp == "leff" and fused_leff_enabled()
+                and cp_ops.context_size(self.mesh) <= 1
+                and fused_leff.supports(h, w, c2, hid,
+                                        jnp.dtype(self.dtype).itemsize)):
+            # fused LN+LeFF Pallas kernel, residual form with the per-
+            # sample DropPath scale applied in-kernel (same rng stream as
+            # the unfused DropPath call).
+            ln_s, ln_b = _LNParams(c2, name="norm2")()
+            w1, b1, taps, bdw, w2, b2 = _LeFFParams(mdssa_dim, hid,
+                                                    name="mlp")()
+            s = DropPath(self.drop_path, name="drop_path")(
+                jnp.ones((b, 1, 1), jnp.float32),
+                deterministic=deterministic).reshape(b)
+            xc = jnp.transpose(tokens_to_image(x, h, w), (0, 3, 1, 2))
+            # the kernel's built-in residual adds x; the unfused path adds
+            # y — but x and y are the identical `x + shortcut` expression
+            # (reference model.py:150-157 quirk), so no correction needed.
+            yc = fused_leff.fused_ln_leff(xc, ln_s, ln_b, w1, b1, taps,
+                                          bdw, w2, b2, s)
+            x = image_to_tokens(jnp.transpose(yc, (0, 2, 3, 1)))
+        else:
+            x = LayerNorm(dtype=self.dtype, name="norm2")(x)
+            x = make_token_mlp(
+                self.token_mlp, mdssa_dim, hid, self.dtype, "mlp"
+            )(x)
+            x = y + DropPath(self.drop_path, name="drop_path")(
+                x, deterministic=deterministic
+            )
         return Dense(self.dim, dtype=self.dtype, name="mlp_proj")(x)
 
 
