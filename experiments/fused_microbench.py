@@ -166,7 +166,7 @@ def run_case(idx: int) -> None:
                 return f(carry), None
 
             out, _ = jax.lax.scan(body, z, None, length=n)
-            return out[0, 0, 0].astype(jnp.float32)
+            return out[0, 0, 0, 0].astype(jnp.float32)
 
         return run
 

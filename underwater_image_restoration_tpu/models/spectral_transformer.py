@@ -44,7 +44,7 @@ from ..ops import (
     pixel_shuffle,
     pixel_unshuffle,
 )
-from ..ops import fused_attn, fused_block
+from ..ops import fused_attn, fused_block, fused_gdfn_banded
 from ..ops.init import torch_kernel_init
 from ..ops.spectral import (
     fftn_real_spatial,
@@ -128,6 +128,22 @@ def _fused_gdfn_enabled() -> bool:
     if mode == "auto":
         return jax.default_backend() != "cpu"
     return mode != "0"
+
+
+def _gdfn_banded_mode() -> str:
+    """Banded-GDFN variant selector: UIRT_GDFN_BANDED in {0, 1, auto}.
+
+    "auto" (default): use ``ops.fused_gdfn_banded`` only where the proven
+    whole-image kernel (``ops.fused_block``) cannot fit — i.e. the 1024²
+    reference train resolution, whose C=16 image alone is 33.6 MB > VMEM.
+    "1" forces the banded kernel everywhere it qualifies (hardware A/B at
+    256², CPU equality tests); "0" disables it (whole-image or unfused
+    only).  Equality pinned by tests/test_fused_gdfn_banded.py."""
+    mode = os.environ.get("UIRT_GDFN_BANDED", "auto")
+    if mode not in _FUSED_MODES:
+        raise ValueError(
+            f"UIRT_GDFN_BANDED={mode!r} — expected one of {_FUSED_MODES}")
+    return mode
 
 
 def _fused_attn_enabled() -> bool:
@@ -510,14 +526,23 @@ class SpectralBlock(nn.Module):
                 LayerNorm(dtype=self.dtype, axis=ax, name="norm1")(x)
             )
         hid = int(self.channels * self.expansion_factor)
-        if (self.channels_first and _fused_gdfn_enabled()
-                and fused_block.supports(
-                    x.shape[2], x.shape[3], self.channels, hid,
-                    jnp.dtype(self.dtype).itemsize)):
-            scale, bias = _LNParams(self.channels, name="norm2")()
-            w_in, w_dw, w_out = _GDFNParams(self.channels, hid, name="ffn")()
-            return fused_block.fused_ln_gdfn(x, scale, bias, w_in, w_dw,
-                                             w_out)
+        if self.channels_first and _fused_gdfn_enabled():
+            its = jnp.dtype(self.dtype).itemsize
+            whole_ok = fused_block.supports(
+                x.shape[2], x.shape[3], self.channels, hid, its)
+            bmode = _gdfn_banded_mode()
+            banded = (bmode == "1" or (bmode == "auto" and not whole_ok)) \
+                and fused_gdfn_banded.supports(
+                    x.shape[2], x.shape[3], self.channels, hid, its)
+            if banded or whole_ok:
+                scale, bias = _LNParams(self.channels, name="norm2")()
+                w_in, w_dw, w_out = _GDFNParams(self.channels, hid,
+                                                name="ffn")()
+                if banded:
+                    return fused_gdfn_banded.fused_ln_gdfn_banded(
+                        x, scale, bias, w_in, w_dw, w_out)
+                return fused_block.fused_ln_gdfn(x, scale, bias, w_in, w_dw,
+                                                 w_out)
         x = x + GDFN(self.channels, self.expansion_factor, dtype=self.dtype,
                      channels_first=self.channels_first, name="ffn")(
             LayerNorm(dtype=self.dtype, axis=ax, name="norm2")(x)
