@@ -67,13 +67,12 @@ def _args(seed=0):
 
 
 def test_supports_gate():
-    # the whole point: the reference train res (1024²) qualifies at the
-    # C=16 full-res level, and C=32 at its 512² level; C=32 @ 1024² still
-    # exceeds the ~16 MB VMEM even at the 2-row chunk (13.4 MB estimated
-    # working set + Mosaic transients) and stays on the XLA path
+    # the whole point: the reference train res (1024²) qualifies at BOTH
+    # its full-res channel widths (the composed-matmul design carries no
+    # hid-sized guard buffers, so even C=32 @ 1024² fits)
     assert supports(1024, 1024, 16, int(16 * 2.66))
+    assert supports(1024, 1024, 32, int(32 * 2.66))
     assert supports(512, 512, 32, int(32 * 2.66))
-    assert not supports(1024, 1024, 32, int(32 * 2.66))
     assert supports(256, 256, 16, int(16 * 2.66))
     assert not supports(256, 192) and not supports(13, 128)
     assert not supports(16, 128, 6, 15)  # c % 8

@@ -1,34 +1,47 @@
-"""Banded fused LN+GDFN kernel (Pallas TPU) — the 1024² variant.
+"""Banded fused LN+GDFN kernel (Pallas TPU) — composed-matmul variant.
 
 Same math as ``ops.fused_block.fused_ln_gdfn`` (``y = x +
 project_out(gelu(t1) * t2)`` with ``[t1; t2] = dwconv3x3(project_in(
 LayerNorm_C(x)))`` — reference ``src/Models/SpectralTransformer.py:117-148``)
-but with NO whole-image VMEM residents: ``fused_block``'s forward keeps the
-full (C, (H+2)·W) image in VMEM and its backward additionally carries a
-whole-image dLN accumulator, which caps it at ~256² (its own ``supports``
-docstring names this).  This kernel ports ``ops.fused_leff``'s banding to
-the GDFN dataflow:
+with two structural changes over the whole-image kernel:
 
-- forward AND backward stream x in (hc+2)-row halo windows
-  (``_dma_x_window``);
-- the backward replaces the dLN accumulator + second pass with the ROLLING
-  LAG-1 FINALIZATION: chunk i's dLN contributions (through the transposed
-  3x3 depthwise) touch only rows [i·hc−1, (i+1)·hc], so block i−1's dLN is
-  final as soon as chunk i lands, and its LayerNorm backward + dx DMA-out
-  happen immediately, carrying only (C, hc·W)-sized state.
+1. **Banding** (ported from ``ops.fused_leff``): forward AND backward
+   stream x in (hc+2)-row halo windows (``_dma_x_window``); the backward
+   replaces ``fused_block``'s whole-image dLN accumulator + second pass
+   with the ROLLING LAG-1 FINALIZATION — chunk i's dLN contributions
+   touch only rows [i·hc−1, (i+1)·hc], so block i−1's dLN is final as
+   soon as chunk i lands, carrying only (C, hc·W)-sized state.  No
+   whole-image VMEM residents → the reference train resolution (1024²,
+   ``src/DataManipulation/DataLoader.py:13-20``) qualifies at BOTH its
+   full-res channel widths (C=16 and C=32).
 
-That banding is what qualifies the reference train resolution (1024²,
-``src/DataManipulation/DataLoader.py:13-20``) where the whole-image kernel
-cannot fit (C=16 @ 1024²: the x copy alone is 33.6 MB > 16 MB VMEM).
+2. **Composed contraction**: project_in (1×1, bias-free) followed by the
+   bias-free depthwise 3×3 is linear∘linear, so both collapse into ONE
+   matmul against a 9-shifted stack of the LayerNorm output:
 
-Numerics are bit-identical to ``fused_block`` (same materialization
-points, same ``_erf_f32`` gelu, same mask/guard machinery — all imported
-from there).  Reverse-mode AD only, like its siblings.
+       t[g, q] = Σ_{c,k} K[(k,c), g] · lnshift[(k,c), q],
+       K[(k,c), g] = w_in[c, g] · tap[g, k]       (built host-side)
+
+   The MXU contraction dim becomes 9·C (144/288 vs 16/32 — full systolic
+   utilization instead of 12.5%), and the 18 VPU shift-MACs per gated
+   half become 9 cheap (C, n) copies shared by both halves.  The weight
+   VJP returns dK and decomposes to (dw_in, dtap) host-side via the
+   product rule.
+
+Numerics: identical materialization points to ``fused_block`` EXCEPT that
+project_in's output is no longer rounded to the compute dtype before the
+depthwise taps (the composed matmul accumulates both stages in f32) — in
+f32 compute the paths are equality-pinned (tests/test_fused_gdfn_banded);
+in bf16 the composed form is strictly *more* accurate at that point.
+LayerNorm stats/affine in f32, gelu via XLA's own erf expansion, zero
+padding applied to the dwconv input (= masking LN's image-halo rows, which
+commutes with the linear stages).  Reverse-mode AD only, like its
+siblings.
 
 Dispatch: ``models.spectral_transformer.SpectralBlock`` routes here when
 ``fused_block.supports`` rejects the shape but ``supports`` here passes
-(or unconditionally under ``UIRT_GDFN_BANDED=1`` for A/B); see
-``_fused_gdfn_enabled`` there.
+(or everywhere under ``UIRT_GDFN_BANDED=1``); see ``_fused_gdfn_enabled``
+there.
 """
 from __future__ import annotations
 
@@ -43,13 +56,10 @@ from .fused_block import (
     _any_spec,
     _col_masks,
     _dma_x_window,
-    _dw_shift_acc,
-    _dw_shift_transpose,
     _gelu_exact,
     _gelu_grad,
     _ln_flat,
     _row_mask,
-    _split_weights,
     _vmem_full,
     _zero_guards,
     _TAPS,
@@ -57,22 +67,24 @@ from .fused_block import (
 
 
 def pick_hc(h: int, w: int, c: int, hid: int) -> int:
-    """Largest row-chunk dividing H whose ~6 live f32 (hid, (hc+2)·W)
-    chunk intermediates (two gated branches) stay within ~5 MB.  Chunks
-    down to 2 rows are allowed — banded kernels have no whole-image
-    buffers, so narrow chunks are what let W=1024 shapes in."""
+    """Largest row-chunk dividing H whose live chunk set — ~6 f32
+    (hid, hc·W) intermediates, the (9C, hc·W) shifted stack (dtype + one
+    f32 transient), and the (C, (hc+2)·W) dLN frame — stays within ~6 MB.
+    Chunks down to 2 rows are allowed (no whole-image buffers)."""
     for hc in (64, 32, 16, 8, 4, 2):
         if h % hc:
             continue
-        if hid * (hc + 2) * w * 4 * 6 <= 5 * 1024 * 1024:
+        live = (6 * hid + 9 * c) * hc * w * 4 + 9 * c * hc * w * 2 \
+            + 2 * c * (hc + 2) * w * 4
+        if live <= 6 * 1024 * 1024:
             return hc
     return 2
 
 
 def supports(h: int, w: int, c: int | None = None, hid: int | None = None,
              itemsize: int = 2) -> bool:
-    """Shape gate.  No whole-image term: the budget is the four guard
-    buffers plus the live f32 chunk intermediates at the chosen chunk."""
+    """Shape gate.  No whole-image term: guards + live chunk set at the
+    chosen chunk size."""
     if w % 128 or h % 8:
         return False
     if c is None or hid is None:
@@ -82,18 +94,45 @@ def supports(h: int, w: int, c: int | None = None, hid: int | None = None,
     hc = pick_hc(h, w, c, hid)
     n, n2 = hc * w, (hc + 2) * w
     p = w + 128
-    guards = 2 * hid * (n2 + 2 * p) * itemsize + \
-        2 * hid * (n + 2 * (p + w)) * itemsize
-    # live f32: y1/dy1 frames are (hid, n2) but transient one-at-a-time
-    # (2 slots); t1/t2/g1/do/dta/dtb are (hid, n); dlnc is (c, n2)
-    live = (2 * hid * n2 + 6 * hid * n + 2 * c * n2) * 4
+    guards = c * (n2 + 2 * p) * itemsize + 9 * c * n * itemsize \
+        + c * (n2 + 256) * 4
+    live = (6 * hid + 9 * c) * n * 4 + 2 * c * n2 * 4
     carry = 4 * c * n * 4
     return guards + live + carry <= 12 * 1024 * 1024
 
 
-def _fwd_kernel(x_hbm, scale_ref, bias_ref, wina_ref, winb_ref, tapa_ref,
-                tapb_ref, wout_ref, out_hbm,
-                xw, bufa, bufb, stage, sem_in, sem_out, *,
+def _build_k(w_half, taps_half):
+    """K[(k,c), g] = w_half[c, g] * taps_half[g, k] -> (9c, hid)."""
+    # taps_half: (hid, 9); w_half: (c, hid)
+    return (taps_half.T[:, None, :] * w_half[None, :, :]).reshape(
+        9 * w_half.shape[0], w_half.shape[1])
+
+
+def _decompose_dk(dk, w_half, taps_half):
+    """Product-rule split of dK -> (dw_half (c, hid), dtaps_half (hid, 9))."""
+    c = w_half.shape[0]
+    dk3 = dk.reshape(9, c, dk.shape[1])
+    dw = jnp.einsum("kcg,gk->cg", dk3, taps_half,
+                    preferred_element_type=jnp.float32)
+    dtap = jnp.einsum("kcg,cg->gk", dk3, w_half,
+                      preferred_element_type=jnp.float32)
+    return dw, dtap
+
+
+def _build_shift_stack(s_ref, lnbuf, masks, c: int, p: int, w: int, n: int,
+                       dtype):
+    """S[(k,c), q] = lnshift_k[c, q] — 9 statically-offset (C, n) slices of
+    the guard-padded LN buffer, column-wrapping shifts masked to zero
+    (zero-pad semantics).  Shared by both gated halves."""
+    for k, (dh, dw) in enumerate(_TAPS):
+        sl = lnbuf[:, pl.ds(p + dh * w + dw - 1, n)]
+        if masks[dw] is not None:
+            sl = (sl.astype(jnp.float32) * masks[dw]).astype(dtype)
+        s_ref[k * c:(k + 1) * c, :] = sl
+
+
+def _fwd_kernel(x_hbm, scale_ref, bias_ref, ka_ref, kb_ref, wout_ref,
+                out_hbm, xw, lnbuf, s_ref, stage, sem_in, sem_out, *,
                 hc: int, h: int, w: int, eps: float, dtype):
     c = scale_ref.shape[0]
     n, n2 = hc * w, (hc + 2) * w
@@ -102,12 +141,11 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, wina_ref, winb_ref, tapa_ref,
     f32 = jnp.float32
     b = pl.program_id(0)
 
-    _zero_guards(bufa, p, n2, dtype)
-    _zero_guards(bufb, p, n2, dtype)
+    _zero_guards(lnbuf, p, n2, dtype)
     scale = scale_ref[:].astype(f32)
     bias = bias_ref[:].astype(f32)
-    wina = wina_ref[:].astype(dtype)
-    winb = winb_ref[:].astype(dtype)
+    ka = ka_ref[:].astype(dtype)
+    kb = kb_ref[:].astype(dtype)
     wout = wout_ref[:].astype(dtype)
     masks = _col_masks(w, n)
 
@@ -116,14 +154,14 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, wina_ref, winb_ref, tapa_ref,
         base = pl.multiple_of(r0 * w, 128)
         _dma_x_window(x_hbm, b, xw, sem_in, i, nchunks, hc, h, w, dtype)
         ln, _, _ = _ln_flat(xw[:].astype(f32), scale, bias, eps)
-        ln = ln.astype(dtype)
         rmask = _row_mask(r0, hc, h, w, n2)
-        for win, buf in ((wina, bufa), (winb, bufb)):
-            y1 = jax.lax.dot_general(win, ln, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=f32)
-            buf[:, pl.ds(p, n2)] = jnp.where(rmask, y1, 0.0).astype(dtype)
-        t1 = _dw_shift_acc(bufa, tapa_ref, masks, p, w, n, dtype)
-        t2 = _dw_shift_acc(bufb, tapb_ref, masks, p, w, n, dtype)
+        lnbuf[:, pl.ds(p, n2)] = jnp.where(rmask, ln, 0.0).astype(dtype)
+        _build_shift_stack(s_ref, lnbuf, masks, c, p, w, n, dtype)
+        s = s_ref[:]
+        t1 = jax.lax.dot_general(ka, s, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        t2 = jax.lax.dot_general(kb, s, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
         o = (_gelu_exact(t1) * t2).astype(dtype)
         u = jax.lax.dot_general(wout, o, (((0,), (0,)), ((), ())),
                                 preferred_element_type=f32)
@@ -137,12 +175,11 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, wina_ref, winb_ref, tapa_ref,
     jax.lax.fori_loop(0, nchunks, chunk, 0)
 
 
-def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, wina_ref, winb_ref,
-                tapa_ref, tapb_ref, wout_ref,
-                dx_hbm, dscale_ref, dbias_ref, dwina_ref, dwinb_ref,
-                dtapa_ref, dtapb_ref, dwout_ref,
-                xw, bufa, bufb, dtbufa, dtbufb, dpend, dcarry, xprev,
-                dyprev, stage, sem_in, sem_dy, sem_out, *,
+def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, ka_ref, kb_ref,
+                wout_ref,
+                dx_hbm, dscale_ref, dbias_ref, dka_ref, dkb_ref, dwout_ref,
+                xw, lnbuf, s_ref, dlnacc, dpend, dcarry, xprev, dyprev,
+                stage, sem_in, sem_dy, sem_out, *,
                 hc: int, h: int, w: int, eps: float, dtype):
     c = scale_ref.shape[0]
     n, n2 = hc * w, (hc + 2) * w
@@ -153,23 +190,18 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, wina_ref, winb_ref,
 
     @pl.when(b == 0)
     def _init():
-        for ref in (dscale_ref, dbias_ref, dwina_ref, dwinb_ref,
-                    dtapa_ref, dtapb_ref, dwout_ref):
+        for ref in (dscale_ref, dbias_ref, dka_ref, dkb_ref, dwout_ref):
             ref[:] = jnp.zeros(ref.shape, ref.dtype)
 
-    _zero_guards(bufa, p, n2, dtype)
-    _zero_guards(bufb, p, n2, dtype)
-    _zero_guards(dtbufa, p + w, n, dtype)
-    _zero_guards(dtbufb, p + w, n, dtype)
+    _zero_guards(lnbuf, p, n2, dtype)
     dpend[:] = jnp.zeros(dpend.shape, dpend.dtype)
     dcarry[:] = jnp.zeros(dcarry.shape, dcarry.dtype)
     scale = scale_ref[:].astype(f32)
     bias = bias_ref[:].astype(f32)
-    wina = wina_ref[:].astype(dtype)
-    winb = winb_ref[:].astype(dtype)
+    ka = ka_ref[:].astype(dtype)
+    kb = kb_ref[:].astype(dtype)
     wout = wout_ref[:].astype(dtype)
     masks = _col_masks(w, n)
-    tmasks2 = {0: _col_masks(w, n2)[2], 1: None, 2: _col_masks(w, n2)[0]}
 
     def _ln_bwd_out(xf, dln, dy_res):
         """LayerNorm backward for one finalized block + residual dy; also
@@ -193,14 +225,14 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, wina_ref, winb_ref,
         cp_dy.start()
         _dma_x_window(x_hbm, b, xw, sem_in, i, nchunks, hc, h, w, dtype)
         ln, _, _ = _ln_flat(xw[:].astype(f32), scale, bias, eps)
-        ln = ln.astype(dtype)
         rmask = _row_mask(r0, hc, h, w, n2)
-        for win, buf in ((wina, bufa), (winb, bufb)):
-            y1 = jax.lax.dot_general(win, ln, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=f32)
-            buf[:, pl.ds(p, n2)] = jnp.where(rmask, y1, 0.0).astype(dtype)
-        t1 = _dw_shift_acc(bufa, tapa_ref, masks, p, w, n, dtype)
-        t2 = _dw_shift_acc(bufb, tapb_ref, masks, p, w, n, dtype)
+        lnbuf[:, pl.ds(p, n2)] = jnp.where(rmask, ln, 0.0).astype(dtype)
+        _build_shift_stack(s_ref, lnbuf, masks, c, p, w, n, dtype)
+        s = s_ref[:]
+        t1 = jax.lax.dot_general(ka, s, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        t2 = jax.lax.dot_general(kb, s, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
         g1 = _gelu_exact(t1)
         cp_dy.wait()
         dyd = stage[:]
@@ -210,30 +242,28 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, wina_ref, winb_ref,
         o = (g1 * t2).astype(dtype)
         dwout_ref[:, :] += jax.lax.dot_general(
             o, du, (((1,), (1,)), ((), ())), preferred_element_type=f32)
-        dta = do * t2 * _gelu_grad(t1)
-        dtb = do * g1
-        # dt rounds to the compute dtype here, as fused_block's does
-        dtbufa[:, pl.ds(p + w, n)] = dta.astype(dtype)
-        dtbufb[:, pl.ds(p + w, n)] = dtb.astype(dtype)
-        for buf, dt, dtap in ((bufa, dta, dtapa_ref), (bufb, dtb, dtapb_ref)):
-            for k_, (dh, dw) in enumerate(_TAPS):
-                s_ = p + dh * w + dw - 1
-                term = buf[:, pl.ds(s_, n)].astype(f32) * dt
-                if masks[dw] is not None:
-                    term = term * masks[dw]
-                dtap[:, k_:k_ + 1] += jnp.sum(term, axis=1, keepdims=True)
-        dlnc = None
-        for win, taps, dtbuf, dwin in (
-                (wina, tapa_ref, dtbufa, dwina_ref),
-                (winb, tapb_ref, dtbufb, dwinb_ref)):
-            dy1 = _dw_shift_transpose(dtbuf, taps, tmasks2, p, w, n2)
-            dy1 = jnp.where(rmask, dy1, 0.0).astype(dtype)
-            dwin[:, :] += jax.lax.dot_general(
-                ln, dy1, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                        # (c, hid)
-            d = jax.lax.dot_general(win, dy1, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=f32)    # (c, n2)
-            dlnc = d if dlnc is None else dlnc + d
+        dta = (do * t2 * _gelu_grad(t1)).astype(dtype)
+        dtb = (do * g1).astype(dtype)
+        dka_ref[:, :] += jax.lax.dot_general(
+            s, dta, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        dkb_ref[:, :] += jax.lax.dot_general(
+            s, dtb, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        ds = (jax.lax.dot_general(ka, dta, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+              + jax.lax.dot_general(kb, dtb, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32))  # (9c, n)
+        # transposed shifts: scatter-add each k block into the dLN frame
+        # (rows r0-1 .. r0+hc] live at [128, 128+n2) of dlnacc); the mask
+        # is the SAME masks[dw] as the forward read — it kills the same
+        # output positions q of S_k, just on the cotangent side
+        dlnacc[:] = jnp.zeros(dlnacc.shape, f32)
+        for k, (dh, dw) in enumerate(_TAPS):
+            blkv = ds[k * c:(k + 1) * c, :]
+            if masks[dw] is not None:
+                blkv = blkv * masks[dw]
+            off = 128 + w + (dh - 1) * w + (dw - 1)
+            dlnacc[:, pl.ds(off, n)] += blkv
+        dlnc = dlnacc[:, pl.ds(128, n2)]
 
         # rolling lag-1 finalization: frame i's top-halo row (i*hc - 1) is
         # block i-1's last row — block i-1's dLN is now complete
@@ -269,6 +299,16 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, wina_ref, winb_ref,
     cp_out.wait()
 
 
+def _split_k(scale, bias, w_in, w_dw, w_out):
+    """Host-side composition into the kernel's operands."""
+    c, g2 = w_in.shape
+    hid = g2 // 2
+    taps = w_dw.reshape(9, g2).T  # (2h, 9), k = dh*3+dw
+    ka = _build_k(w_in[:, :hid], taps[:hid])
+    kb = _build_k(w_in[:, hid:], taps[hid:])
+    return scale.reshape(c, 1), bias.reshape(c, 1), ka, kb, w_out
+
+
 def _fwd_call(x, scale, bias, w_in, w_dw, w_out, eps, interpret):
     bsz, c, h, w = x.shape
     g2 = w_in.shape[1]
@@ -284,23 +324,21 @@ def _fwd_call(x, scale, bias, w_in, w_dw, w_out, eps, interpret):
         in_specs=[
             _any_spec(),
             _vmem_full((c, 1)), _vmem_full((c, 1)),
-            _vmem_full((c, hid)), _vmem_full((c, hid)),
-            _vmem_full((hid, 9)), _vmem_full((hid, 9)),
+            _vmem_full((9 * c, hid)), _vmem_full((9 * c, hid)),
             _vmem_full((hid, c)),
         ],
         out_specs=_any_spec(),
         out_shape=jax.ShapeDtypeStruct((bsz, c, h * w), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((c, n2), x.dtype),
-            pltpu.VMEM((hid, n2 + 2 * p), x.dtype),
-            pltpu.VMEM((hid, n2 + 2 * p), x.dtype),
+            pltpu.VMEM((c, n2 + 2 * p), x.dtype),
+            pltpu.VMEM((9 * c, n), x.dtype),
             pltpu.VMEM((c, n), x.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(x.reshape(bsz, c, h * w), *_split_weights(scale, bias, w_in, w_dw,
-                                                w_out))
+    )(x.reshape(bsz, c, h * w), *_split_k(scale, bias, w_in, w_dw, w_out))
     return out.reshape(bsz, c, h, w)
 
 
@@ -320,33 +358,28 @@ def _bwd_call(x, dy, scale, bias, w_in, w_dw, w_out, eps, interpret):
         in_specs=[
             _any_spec(), _any_spec(),
             _vmem_full((c, 1)), _vmem_full((c, 1)),
-            _vmem_full((c, hid)), _vmem_full((c, hid)),
-            _vmem_full((hid, 9)), _vmem_full((hid, 9)),
+            _vmem_full((9 * c, hid)), _vmem_full((9 * c, hid)),
             _vmem_full((hid, c)),
         ],
         out_specs=[
             _any_spec(),
             _vmem_full((c, 1)), _vmem_full((c, 1)),
-            _vmem_full((c, hid)), _vmem_full((c, hid)),
-            _vmem_full((hid, 9)), _vmem_full((hid, 9)),
+            _vmem_full((9 * c, hid)), _vmem_full((9 * c, hid)),
             _vmem_full((hid, c)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, c, h * w), x.dtype),
             jax.ShapeDtypeStruct((c, 1), f32),
             jax.ShapeDtypeStruct((c, 1), f32),
-            jax.ShapeDtypeStruct((c, hid), f32),
-            jax.ShapeDtypeStruct((c, hid), f32),
-            jax.ShapeDtypeStruct((hid, 9), f32),
-            jax.ShapeDtypeStruct((hid, 9), f32),
+            jax.ShapeDtypeStruct((9 * c, hid), f32),
+            jax.ShapeDtypeStruct((9 * c, hid), f32),
             jax.ShapeDtypeStruct((hid, c), f32),
         ],
         scratch_shapes=[
             pltpu.VMEM((c, n2), x.dtype),
-            pltpu.VMEM((hid, n2 + 2 * p), x.dtype),
-            pltpu.VMEM((hid, n2 + 2 * p), x.dtype),
-            pltpu.VMEM((hid, n + 2 * (p + w)), x.dtype),
-            pltpu.VMEM((hid, n + 2 * (p + w)), x.dtype),
+            pltpu.VMEM((c, n2 + 2 * p), x.dtype),
+            pltpu.VMEM((9 * c, n), x.dtype),
+            pltpu.VMEM((c, n2 + 256), f32),
             pltpu.VMEM((c, n), f32),
             pltpu.VMEM((c, n), f32),
             pltpu.VMEM((c, n), x.dtype),
@@ -358,10 +391,13 @@ def _bwd_call(x, dy, scale, bias, w_in, w_dw, w_out, eps, interpret):
         ],
         interpret=interpret,
     )(x.reshape(bsz, c, h * w), dy.reshape(bsz, c, h * w),
-      *_split_weights(scale, bias, w_in, w_dw, w_out))
-    dx, dsc, dbi, dwia, dwib, dta, dtb, dwo = outs
+      *_split_k(scale, bias, w_in, w_dw, w_out))
+    dx, dsc, dbi, dka, dkb, dwo = outs
+    taps = w_dw.reshape(9, g2).T
+    dwia, dtapa = _decompose_dk(dka, w_in[:, :hid], taps[:hid])
+    dwib, dtapb = _decompose_dk(dkb, w_in[:, hid:], taps[hid:])
     dwin = jnp.concatenate([dwia, dwib], axis=1)
-    dwdw = jnp.concatenate([dta, dtb], axis=0).T.reshape(3, 3, g2)
+    dwdw = jnp.concatenate([dtapa, dtapb], axis=0).T.reshape(3, 3, g2)
     return (dx.reshape(x.shape), dsc.reshape(c), dbi.reshape(c),
             dwin, dwdw, dwo)
 
@@ -391,8 +427,8 @@ _fused_ln_gdfn_banded.defvjp(_vjp_fwd, _vjp_bwd)
 def fused_ln_gdfn_banded(x, scale, bias, w_in, w_dw, w_out, *,
                          eps: float = 1e-5, interpret: bool | None = None):
     """``x + GDFN(LayerNorm(x))`` on channels-first ``(B, C, H, W)`` —
-    banded-streaming variant (see module docstring).  Same signature and
-    numerics as ``fused_block.fused_ln_gdfn``."""
+    banded + composed-matmul variant (see module docstring).  Same
+    signature and f32 numerics as ``fused_block.fused_ln_gdfn``."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if not supports(x.shape[2], x.shape[3], x.shape[1],
