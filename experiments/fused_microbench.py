@@ -87,6 +87,36 @@ def build_cases():
         add(f"fused LN+MDTA C={c} fwd", (mf, c))
         add(f"fused LN+MDTA C={c} fwd+bwd", (mg, c))
 
+    # banded + composed-matmul GDFN variant (ops/fused_gdfn_banded)
+    from underwater_image_restoration_tpu.ops import fused_gdfn_banded
+
+    def make_banded_cases(c, ef):
+        hid = int(c * ef)
+        k = jax.random.PRNGKey(100 + c)
+        ks = jax.random.split(k, 4)
+        sc = jnp.ones((c,), jnp.float32)
+        bi = jnp.zeros((c,), jnp.float32)
+        w_in = jax.random.normal(ks[0], (c, 2 * hid), jnp.float32) * 0.1
+        w_dw = jax.random.normal(ks[1], (3, 3, 2 * hid), jnp.float32) * 0.1
+        w_out = jax.random.normal(ks[2], (hid, c), jnp.float32) * 0.1
+
+        def bf(x):
+            return fused_gdfn_banded.fused_ln_gdfn_banded(
+                x, sc, bi, w_in, w_dw, w_out).astype(x.dtype)
+
+        def bg(x):
+            g = jax.grad(lambda z: jnp.sum(
+                fused_gdfn_banded.fused_ln_gdfn_banded(
+                    z, sc, bi, w_in, w_dw, w_out).astype(jnp.float32)))(x)
+            return x + g.astype(x.dtype) * 1e-6
+
+        return bf, bg
+
+    for c in (16, 32):
+        bf, bg = make_banded_cases(c, 2.66)
+        add(f"banded LN+GDFN C={c} fwd", (bf, c))
+        add(f"banded LN+GDFN C={c} fwd+bwd", (bg, c))
+
     # XLA unfused halves on the chw layout, same shapes, for the A/B
     import flax.linen as nn
 
@@ -199,7 +229,7 @@ def main():
         indices = [int(x) for x in sys.argv[2].split(",")]
     if indices is None:
         # enumerate without importing jax in the parent
-        n = 16
+        n = 20
         indices = list(range(n))
     for idx in indices:
         for attempt in range(2):
