@@ -44,7 +44,8 @@ from ..ops import (
     pixel_shuffle,
     pixel_unshuffle,
 )
-from ..ops import fused_attn, fused_block, fused_gdfn_banded
+from ..ops import fused_attn, fused_attn_composed, fused_block, \
+    fused_gdfn_banded
 from ..ops.init import torch_kernel_init
 from ..ops.spectral import (
     fftn_real_spatial,
@@ -166,6 +167,24 @@ def _fused_attn_enabled() -> bool:
     if mode == "auto":
         return jax.default_backend() != "cpu"
     return mode != "0"
+
+
+def _attn_composed_mode() -> str:
+    """Composed-matmul MDTA variant selector: UIRT_ATTN_COMPOSED in
+    {0, 1, auto}.
+
+    "1" forces ``ops.fused_attn_composed`` wherever it qualifies (hardware
+    A/B, CPU equality tests); "auto" prefers the composed kernel where it
+    qualifies — the composed contraction dim is 9C (full MXU rows) vs C,
+    the same transform that took the GDFN half from 1.66 to 0.89 ms fwd
+    in the microbench (PERF_NOTES.md round 4); "0" (default until the
+    Mosaic lowering is proven on hardware) keeps the shift-MAC
+    ``ops.fused_attn`` where IT qualifies."""
+    mode = os.environ.get("UIRT_ATTN_COMPOSED", "0")
+    if mode not in _FUSED_MODES:
+        raise ValueError(
+            f"UIRT_ATTN_COMPOSED={mode!r} — expected one of {_FUSED_MODES}")
+    return mode
 
 
 def _attn_layout() -> str:
@@ -508,16 +527,23 @@ class SpectralBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         ax = 1 if self.channels_first else -1
-        if (self.channels_first and _fused_attn_enabled()
-                and fused_attn.supports(
-                    x.shape[2], x.shape[3], self.channels,
-                    jnp.dtype(self.dtype).itemsize)):
+        its = jnp.dtype(self.dtype).itemsize
+        if self.channels_first and _fused_attn_enabled():
+            cmode = _attn_composed_mode()
+            composed = cmode != "0" and fused_attn_composed.supports(
+                x.shape[2], x.shape[3], self.channels, its)
+            shiftmac = not composed and fused_attn.supports(
+                x.shape[2], x.shape[3], self.channels, its)
+        else:
+            composed = shiftmac = False
+        if composed or shiftmac:
             scale1, bias1 = _LNParams(self.channels, name="norm1")()
             w_qkv, t_qkv, temp, w_po, w_kv, t_kv, w_pof = _MDTAParams(
                 self.channels, self.num_heads, name="attn")()
-            x = fused_attn.fused_ln_mdta(
-                x, scale1, bias1, w_qkv, t_qkv, temp, w_po, w_kv, t_kv,
-                w_pof, num_heads=self.num_heads)
+            fn = (fused_attn_composed.fused_ln_mdta_composed if composed
+                  else fused_attn.fused_ln_mdta)
+            x = fn(x, scale1, bias1, w_qkv, t_qkv, temp, w_po, w_kv, t_kv,
+                   w_pof, num_heads=self.num_heads)
         else:
             x = x + MDTA(self.channels, self.num_heads, dtype=self.dtype,
                          mesh=self.mesh,
