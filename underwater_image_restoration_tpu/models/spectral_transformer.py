@@ -134,12 +134,15 @@ def _fused_gdfn_enabled() -> bool:
 def _gdfn_banded_mode() -> str:
     """Banded-GDFN variant selector: UIRT_GDFN_BANDED in {0, 1, auto}.
 
-    "auto" (default): use ``ops.fused_gdfn_banded`` only where the proven
-    whole-image kernel (``ops.fused_block``) cannot fit — i.e. the 1024²
-    reference train resolution, whose C=16 image alone is 33.6 MB > VMEM.
-    "1" forces the banded kernel everywhere it qualifies (hardware A/B at
-    256², CPU equality tests); "0" disables it (whole-image or unfused
-    only).  Equality pinned by tests/test_fused_gdfn_banded.py."""
+    "auto" (default): prefer ``ops.fused_gdfn_banded`` (banded +
+    composed-matmul) wherever it qualifies — hardware A/B at the headline
+    cell (Spectral@256 bs16 K=2, value-fetch harness, back-to-back):
+    35.13 img/s banded vs 29.92 whole-image (+17%), matching the
+    microbench (0.89 vs 1.66 ms fwd, 2.17 vs 6.38 fwd+bwd at C=16); it is
+    also the only fused-GDFN option at the 1024² reference train
+    resolution (whole-image C=16 residency is 33.6 MB > VMEM).  "1"
+    forces it; "0" disables it (whole-image or unfused only).  Equality
+    pinned by tests/test_fused_gdfn_banded.py."""
     mode = os.environ.get("UIRT_GDFN_BANDED", "auto")
     if mode not in _FUSED_MODES:
         raise ValueError(
@@ -557,9 +560,8 @@ class SpectralBlock(nn.Module):
             whole_ok = fused_block.supports(
                 x.shape[2], x.shape[3], self.channels, hid, its)
             bmode = _gdfn_banded_mode()
-            banded = (bmode == "1" or (bmode == "auto" and not whole_ok)) \
-                and fused_gdfn_banded.supports(
-                    x.shape[2], x.shape[3], self.channels, hid, its)
+            banded = bmode != "0" and fused_gdfn_banded.supports(
+                x.shape[2], x.shape[3], self.channels, hid, its)
             if banded or whole_ok:
                 scale, bias = _LNParams(self.channels, name="norm2")()
                 w_in, w_dw, w_out = _GDFNParams(self.channels, hid,
