@@ -176,14 +176,14 @@ def _attn_composed_mode() -> str:
     """Composed-matmul MDTA variant selector: UIRT_ATTN_COMPOSED in
     {0, 1, auto}.
 
-    "1" forces ``ops.fused_attn_composed`` wherever it qualifies (hardware
-    A/B, CPU equality tests); "auto" prefers the composed kernel where it
-    qualifies — the composed contraction dim is 9C (full MXU rows) vs C,
-    the same transform that took the GDFN half from 1.66 to 0.89 ms fwd
-    in the microbench (PERF_NOTES.md round 4); "0" (default until the
-    Mosaic lowering is proven on hardware) keeps the shift-MAC
-    ``ops.fused_attn`` where IT qualifies."""
-    mode = os.environ.get("UIRT_ATTN_COMPOSED", "0")
+    "auto" (default) prefers ``ops.fused_attn_composed`` wherever it
+    qualifies — the composed contraction dim is 9C (full MXU rows) vs C.
+    Hardware A/B (Spectral@256 bs16 K=2, value-fetch harness): 36.01
+    img/s composed vs 35.13 shift-MAC (+2.5%; the forward chains compose
+    but the backward keeps the same four-pass structure, so the gain is
+    smaller than the GDFN half's).  "1" forces it; "0" keeps the
+    shift-MAC ``ops.fused_attn`` where IT qualifies."""
+    mode = os.environ.get("UIRT_ATTN_COMPOSED", "auto")
     if mode not in _FUSED_MODES:
         raise ValueError(
             f"UIRT_ATTN_COMPOSED={mode!r} — expected one of {_FUSED_MODES}")
