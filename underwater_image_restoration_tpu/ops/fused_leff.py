@@ -114,7 +114,7 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, w1_ref, b1_ref, taps_ref,
     b1 = b1_ref[:].astype(dtype)
     bdw = bdw_ref[:].astype(dtype)
     b2 = b2_ref[:].astype(dtype)
-    s = s_ref[0, 0]
+    s = s_ref[pl.program_id(0), 0]
     masks = _col_masks(w, n)
 
     def chunk(i, _):
@@ -178,7 +178,7 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, w1_ref, b1_ref,
     w2 = w2_ref[:].astype(dtype)
     b1 = b1_ref[:].astype(dtype)
     bdw = bdw_ref[:].astype(dtype)
-    s = s_ref[0, 0]
+    s = s_ref[pl.program_id(0), 0]
     masks = _col_masks(w, n)
     tmasks2 = {0: _col_masks(w, n2)[2], 1: None, 2: _col_masks(w, n2)[0]}
 
@@ -288,8 +288,11 @@ def _split_weights(scale, bias, w1, b1, w_dw, b_dw, w2, b2):
 
 
 def _smem_scalar_spec():
-    return pl.BlockSpec((1, 1), lambda b: (b, 0),
-                        memory_space=pltpu.SMEM)
+    """Whole-array SMEM spec for the per-sample DropPath scales: Mosaic
+    requires block shapes either (8,128)-aligned or equal to the array
+    dims, so pass all (bsz, 1) scalars to every program and index by
+    program_id in-kernel (dynamic SMEM scalar loads are supported)."""
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
 def _fwd_call(x, scale, bias, w1, b1, w_dw, b_dw, w2, b2, s, eps,
