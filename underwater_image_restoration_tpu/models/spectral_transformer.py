@@ -44,8 +44,8 @@ from ..ops import (
     pixel_shuffle,
     pixel_unshuffle,
 )
-from ..ops import fused_attn, fused_attn_composed, fused_block, \
-    fused_gdfn_banded
+from ..ops import fused_attn, fused_attn_banded, fused_attn_composed, \
+    fused_block, fused_gdfn_banded
 from ..ops.init import torch_kernel_init
 from ..ops.spectral import (
     fftn_real_spatial,
@@ -187,6 +187,22 @@ def _attn_composed_mode() -> str:
     if mode not in _FUSED_MODES:
         raise ValueError(
             f"UIRT_ATTN_COMPOSED={mode!r} — expected one of {_FUSED_MODES}")
+    return mode
+
+
+def _attn_banded_mode() -> str:
+    """Banded-MDTA variant selector: UIRT_ATTN_BANDED in {0, 1, auto}.
+
+    "auto" (default): use ``ops.fused_attn_banded`` only where the
+    whole-image composed kernel cannot fit — i.e. the 1024² reference
+    train resolution (and the 1024-model's C=32/C=64 levels), whose
+    images/accumulators exceed VMEM.  "1" forces it everywhere it
+    qualifies (hardware A/B, CPU equality tests); "0" disables it.
+    Equality pinned by tests/test_fused_attn_banded.py."""
+    mode = os.environ.get("UIRT_ATTN_BANDED", "auto")
+    if mode not in _FUSED_MODES:
+        raise ValueError(
+            f"UIRT_ATTN_BANDED={mode!r} — expected one of {_FUSED_MODES}")
     return mode
 
 
@@ -532,19 +548,26 @@ class SpectralBlock(nn.Module):
         ax = 1 if self.channels_first else -1
         its = jnp.dtype(self.dtype).itemsize
         if self.channels_first and _fused_attn_enabled():
+            hw = (x.shape[2], x.shape[3])
             cmode = _attn_composed_mode()
-            composed = cmode != "0" and fused_attn_composed.supports(
-                x.shape[2], x.shape[3], self.channels, its)
-            shiftmac = not composed and fused_attn.supports(
-                x.shape[2], x.shape[3], self.channels, its)
+            bmode = _attn_banded_mode()
+            banded = bmode == "1" and fused_attn_banded.supports(
+                *hw, self.channels, its)
+            composed = not banded and cmode != "0" \
+                and fused_attn_composed.supports(*hw, self.channels, its)
+            if not (banded or composed) and bmode == "auto":
+                banded = fused_attn_banded.supports(*hw, self.channels, its)
+            shiftmac = not (banded or composed) and fused_attn.supports(
+                *hw, self.channels, its)
         else:
-            composed = shiftmac = False
-        if composed or shiftmac:
+            banded = composed = shiftmac = False
+        if banded or composed or shiftmac:
             scale1, bias1 = _LNParams(self.channels, name="norm1")()
             w_qkv, t_qkv, temp, w_po, w_kv, t_kv, w_pof = _MDTAParams(
                 self.channels, self.num_heads, name="attn")()
-            fn = (fused_attn_composed.fused_ln_mdta_composed if composed
-                  else fused_attn.fused_ln_mdta)
+            fn = (fused_attn_banded.fused_ln_mdta_banded if banded
+                  else fused_attn_composed.fused_ln_mdta_composed
+                  if composed else fused_attn.fused_ln_mdta)
             x = fn(x, scale1, bias1, w_qkv, t_qkv, temp, w_po, w_kv, t_kv,
                    w_pof, num_heads=self.num_heads)
         else:

@@ -70,7 +70,7 @@ def pick_hc(h: int, w: int, c: int) -> int:
     for hc in (32, 16, 8):
         if h % hc:
             continue
-        if _static_bytes(hc, w, c) <= 12 * 1024 * 1024:
+        if _static_bytes(hc, w, c) <= 13 * 1024 * 1024:
             return hc
     return 8
 
@@ -106,7 +106,9 @@ def supports(h: int, w: int, c: int | None = None,
     if c % 8:
         return False
     hc = pick_hc(h, w, c)
-    return _static_bytes(hc, w, c, itemsize) <= 13 * 1024 * 1024
+    # ~16 MB VMEM; _static_bytes already carries a 4x f32-chunk headroom
+    # term for Mosaic's transient live values
+    return _static_bytes(hc, w, c, itemsize) <= 14.5 * 1024 * 1024
 
 
 def _per_tap_matmul(kmat, buf, masks, c: int, p: int, w: int, n: int,
@@ -335,7 +337,8 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
             cp.start()
             cp.wait()
 
-        dlpend[:] = dlnacc2[:, pl.ds(128 + w, n)] + dlcarry[:]
+        dlpend[:] = dlnacc2[:, pl.ds(128 + w, n)]
+        dlpend[:, pl.ds(0, w)] += dlcarry[:]
         dlcarry[:] = dlnacc2[:, pl.ds(128 + w + n, w)]
 
     def loop1(i, _):
@@ -385,10 +388,11 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
             dopend[:, pl.ds(n - w, w)] += dlnacc[:, pl.ds(128, w)]
             _v_branch(i - 1, dopend[:].astype(dtype))
 
-        dopend[:] = dlnacc[:, pl.ds(128 + w, n)] + docarry[:]
+        dopend[:] = dlnacc[:, pl.ds(128 + w, n)]
+        dopend[:, pl.ds(0, w)] += docarry[:]
         docarry[:] = dlnacc[:, pl.ds(128 + w + n, w)]
         sprev[:] = s_ref[:, pl.ds(w, n)]
-        vprev[:] = v_full[:, pl.ds(w, n)]
+        vprev[:] = v_full[:, w:w + n]
         return 0
 
     jax.lax.fori_loop(0, nchunks, loop1, 0)
@@ -491,7 +495,8 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
             dlpend[:, pl.ds(n - w, w)] += dlnacc[:, pl.ds(128, w)]
             _ln_bwd_out(i - 1)
 
-        dlpend[:] = dlnacc[:, pl.ds(128 + w, n)] + dlcarry[:]
+        dlpend[:] = dlnacc[:, pl.ds(128 + w, n)]
+        dlpend[:, pl.ds(0, w)] += dlcarry[:]
         dlcarry[:] = dlnacc[:, pl.ds(128 + w + n, w)]
         xprev[:] = xw2[:, pl.ds(w, n)]
         return 0

@@ -70,7 +70,10 @@ def pick_hc(h: int, w: int, c: int, hid: int) -> int:
     for hc in (64, 32, 16, 8, 4, 2):
         if h % hc:
             continue
-        if hid * (hc + 2) * w * 4 * 4 <= 5 * 1024 * 1024:
+        # 4 MB (not 5): hardware measured the backward at C=64/hid=256/
+        # 128^2 (AST encoderlayer_1) 572 KB over the 16 MB scoped limit
+        # with the hc=8 the 5 MB budget picked
+        if hid * (hc + 2) * w * 4 * 4 <= 4 * 1024 * 1024:
             return hc
     return 2
 
