@@ -31,6 +31,9 @@ def test_supports_gate():
 def block_setup(monkeypatch):
     monkeypatch.setenv("UIRT_CHW", "1")
     monkeypatch.setenv("UIRT_FUSED_GDFN", "0")  # isolate the MDTA half
+    # pin the SHIFT-MAC kernel: auto now prefers the composed variant
+    monkeypatch.setenv("UIRT_ATTN_COMPOSED", "0")
+    monkeypatch.setenv("UIRT_ATTN_BANDED", "0")
     m = SpectralBlock(channels=C, num_heads=NH, expansion_factor=2.66,
                       channels_first=True)
     x = jnp.asarray(
