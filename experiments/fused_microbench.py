@@ -117,6 +117,45 @@ def build_cases():
         add(f"banded LN+GDFN C={c} fwd", (bf, c))
         add(f"banded LN+GDFN C={c} fwd+bwd", (bg, c))
 
+    # composed / banded MDTA variants
+    from underwater_image_restoration_tpu.ops import (
+        fused_attn_banded, fused_attn_composed,
+    )
+
+    def make_attn_variant_cases(mod, fn_name, c, nh):
+        k = jax.random.PRNGKey(200 + c)
+        ks = jax.random.split(k, 8)
+        sc = jnp.ones((c,), jnp.float32)
+        bi = jnp.zeros((c,), jnp.float32)
+        w_qkv = jax.random.normal(ks[0], (c, 3 * c), jnp.float32) * 0.1
+        t_qkv = jax.random.normal(ks[1], (3, 3, 3 * c), jnp.float32) * 0.1
+        temp = jnp.ones((1, nh, 1, 1), jnp.float32)
+        w_po = jax.random.normal(ks[2], (c, c), jnp.float32) * 0.1
+        w_kv = jax.random.normal(ks[3], (c, 2 * c), jnp.float32) * 0.1
+        t_kv = jax.random.normal(ks[4], (3, 3, 2 * c), jnp.float32) * 0.1
+        w_pof = jax.random.normal(ks[5], (c, c), jnp.float32) * 0.1
+        fn = getattr(mod, fn_name)
+
+        def vf(x):
+            return fn(x, sc, bi, w_qkv, t_qkv, temp, w_po, w_kv, t_kv,
+                      w_pof, num_heads=nh).astype(x.dtype)
+
+        def vg(x):
+            g = jax.grad(lambda z: jnp.sum(
+                fn(z, sc, bi, w_qkv, t_qkv, temp, w_po, w_kv, t_kv,
+                   w_pof, num_heads=nh).astype(jnp.float32)))(x)
+            return x + g.astype(x.dtype) * 1e-6
+
+        return vf, vg
+
+    for label, mod, fn_name in (
+            ("composed", fused_attn_composed, "fused_ln_mdta_composed"),
+            ("bandedA", fused_attn_banded, "fused_ln_mdta_banded")):
+        for c, nh in ((16, 1), (32, 2)):
+            vf, vg = make_attn_variant_cases(mod, fn_name, c, nh)
+            add(f"{label} LN+MDTA C={c} fwd", (vf, c))
+            add(f"{label} LN+MDTA C={c} fwd+bwd", (vg, c))
+
     # XLA unfused halves on the chw layout, same shapes, for the A/B
     import flax.linen as nn
 
@@ -229,7 +268,7 @@ def main():
         indices = [int(x) for x in sys.argv[2].split(",")]
     if indices is None:
         # enumerate without importing jax in the parent
-        n = 20
+        n = 28
         indices = list(range(n))
     for idx in indices:
         for attempt in range(2):
