@@ -49,8 +49,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attn import _EPS2, _attn_from_stats, _consts, _eye
-from .fused_attn_composed import _scatter_frame, _split_weights, _stack
+from .fused_attn import _EPS2, _attn_from_stats, _eye
+from .fused_attn_composed import _split_weights, _stack
 from .fused_block import (
     _any_spec,
     _col_masks,
