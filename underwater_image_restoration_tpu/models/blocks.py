@@ -66,17 +66,22 @@ def fused_leff_enabled() -> bool:
     Semantics as spectral_transformer._fused_gdfn_enabled; equality
     pinned by tests/test_fused_leff.py.
 
-    "auto" (default) enables it on non-CPU backends when the shape
-    qualifies (``fused_leff.supports``); CPU tests opt in with "1"."""
+    "auto" (default) is OFF — written negative, round 4: hardware A/B at
+    AST@256 bs16 K=2 measured 27.0 img/s fused (reproduced twice) vs
+    29.2 unfused.  Unlike the Spectral blocks (which live in the
+    channels-first layout), AST blocks are token-space: the fused call
+    pays a tokens->NCHW transpose pair per block at full resolution, and
+    XLA already fuses the unfused LeFF chain with the adjacent window
+    attention — the kernel's HBM savings don't cover the relayouts.
+    "1" forces it (CPU equality tests; the Mosaic lowering itself is
+    hardware-proven and stays available)."""
     import os
 
     mode = os.environ.get("UIRT_FUSED_LEFF", "auto")
     if mode not in _FUSED_MODES:
         raise ValueError(
             f"UIRT_FUSED_LEFF={mode!r} — expected one of {_FUSED_MODES}")
-    if mode == "auto":
-        return jax.default_backend() != "cpu"
-    return mode != "0"
+    return mode == "1"
 
 
 class _LNParams(nn.Module):
