@@ -67,12 +67,12 @@ from .fused_gdfn_banded import _decompose_dk
 def pick_hc(h: int, w: int, c: int) -> int:
     """Largest row chunk whose static scratch set fits ~13 MB (see
     supports); transient compute temps ride in the remaining headroom."""
-    for hc in (32, 16, 8):
+    for hc in (32, 16, 8, 4):
         if h % hc:
             continue
         if _static_bytes(hc, w, c) <= 13 * 1024 * 1024:
             return hc
-    return 8
+    return 4
 
 
 def _static_bytes(hc: int, w: int, c: int, itemsize: int = 2) -> int:
@@ -91,7 +91,10 @@ def _static_bytes(hc: int, w: int, c: int, itemsize: int = 2) -> int:
         + c * n * 4                        # f32 stage (dlnv write / read)
         + 2 * c * n * itemsize             # dych + stage
         + c * n * itemsize                 # xprev
-        + 4 * c * n2 * 4                   # headroom: live f32 chunk temps
+        # headroom for Mosaic's live f32 chunk temps: hardware measured
+        # the hc=8 backward at C=32/512² 1.39 MB over the 16 MB scoped
+        # limit with a 4x term — 10x keeps the model honest
+        + 10 * c * n2 * 4
     )
 
 
