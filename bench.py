@@ -136,8 +136,11 @@ ZOO = [
     # prescreen-rejected) and each rejection costs a ~300 s remote compile.
     ("AST@256", "AST", {}, 256,
      ((16, 2), (8, 1)), 2, False),
+    # bs16 K=2 is prescreen-rejected (15.44 GB static, measured round 4)
+    # — lead with bs8 so the ladder lands a number without burning a
+    # deterministic rejection first
     ("NewModel-Wavelet@256", "NewModel", {"use_dwt": "Wavelet"}, 256,
-     ((16, 2), (8, 2)), 2, False),
+     ((8, 2), (4, 1)), 2, False),
     # bs4 was prescreen-rejected twice at 15.95 GB (BENCH_r03) — lead with
     # the known-good bs2 so the ladder lands a number instead of burning
     # ~300 s on a deterministic rejection.
