@@ -206,6 +206,61 @@ def _attn_banded_mode() -> str:
     return mode
 
 
+def block_fused_plan(h: int, w: int, c: int, hid: int, itemsize: int):
+    """Kernel dispatch plan for a channels-first SpectralBlock of this
+    shape under the current UIRT_* modes: ``(attn_kind, gdfn_kind)`` with
+    attn_kind in {None, "banded", "composed", "shiftmac"} and gdfn_kind in
+    {None, "banded", "whole"}.  Shared between ``SpectralBlock.__call__``
+    (which executes it) and ``SpectralTransformer``'s per-stage remat
+    policy (which skips ``jax.checkpoint`` for fully-fused blocks — the
+    kernels' custom VJPs already recompute in VMEM and save only x +
+    small stats, so block-level remat would replay both kernel forwards
+    in the backward to rebuild residuals it then discards)."""
+    attn = None
+    if _fused_attn_enabled():
+        cmode = _attn_composed_mode()
+        bmode = _attn_banded_mode()
+        if bmode == "1" and fused_attn_banded.supports(h, w, c, itemsize):
+            attn = "banded"
+        elif cmode != "0" and fused_attn_composed.supports(h, w, c,
+                                                           itemsize):
+            attn = "composed"
+        elif bmode == "auto" and fused_attn_banded.supports(h, w, c,
+                                                            itemsize):
+            attn = "banded"
+        elif fused_attn.supports(h, w, c, itemsize):
+            attn = "shiftmac"
+    gdfn = None
+    if _fused_gdfn_enabled():
+        bmode = _gdfn_banded_mode()
+        if bmode != "0" and fused_gdfn_banded.supports(h, w, c, hid,
+                                                       itemsize):
+            gdfn = "banded"
+        elif fused_block.supports(h, w, c, hid, itemsize):
+            gdfn = "whole"
+    return attn, gdfn
+
+
+def _remat_fused_blocks() -> bool:
+    """UIRT_REMAT_FUSED in {0, 1, auto}: wrap FULLY-fused blocks (both
+    halves dispatched to Pallas kernels) in jax.checkpoint when the model
+    asks for per-block remat?  "auto"/"0" (default): no — the kernels'
+    custom VJPs recompute in VMEM and save only x + O(C) stats, so
+    checkpointing such a block stores no less HBM (remat saves x; the
+    kernels save x and the post-attn mid) but replays BOTH kernel
+    forwards in the backward.  "1" restores the legacy always-remat
+    wrapping for A/B.  Partially-fused blocks always remat (their unfused
+    half materializes full intermediate swarms).
+
+    Hardware A/B (Spectral@256 bs16 K=2, value-fetch harness, back-to-
+    back): 63.0 img/s remat-skip vs 59.4 always-remat (+6.1%)."""
+    mode = os.environ.get("UIRT_REMAT_FUSED", "auto")
+    if mode not in _FUSED_MODES:
+        raise ValueError(
+            f"UIRT_REMAT_FUSED={mode!r} — expected one of {_FUSED_MODES}")
+    return mode == "1"
+
+
 def _attn_layout() -> str:
     """MDTA data-layout selector: UIRT_ATTN_LAYOUT in {blhc, bhcl}.
 
@@ -547,21 +602,16 @@ class SpectralBlock(nn.Module):
     def __call__(self, x):
         ax = 1 if self.channels_first else -1
         its = jnp.dtype(self.dtype).itemsize
-        if self.channels_first and _fused_attn_enabled():
-            hw = (x.shape[2], x.shape[3])
-            cmode = _attn_composed_mode()
-            bmode = _attn_banded_mode()
-            banded = bmode == "1" and fused_attn_banded.supports(
-                *hw, self.channels, its)
-            composed = not banded and cmode != "0" \
-                and fused_attn_composed.supports(*hw, self.channels, its)
-            if not (banded or composed) and bmode == "auto":
-                banded = fused_attn_banded.supports(*hw, self.channels, its)
-            shiftmac = not (banded or composed) and fused_attn.supports(
-                *hw, self.channels, its)
+        hid = int(self.channels * self.expansion_factor)
+        if self.channels_first:
+            attn_kind, gdfn_kind = block_fused_plan(
+                x.shape[2], x.shape[3], self.channels, hid, its)
         else:
-            banded = composed = shiftmac = False
-        if banded or composed or shiftmac:
+            attn_kind = gdfn_kind = None
+        banded = attn_kind == "banded"
+        composed = attn_kind == "composed"
+        shiftmac = attn_kind == "shiftmac"
+        if attn_kind is not None:
             scale1, bias1 = _LNParams(self.channels, name="norm1")()
             w_qkv, t_qkv, temp, w_po, w_kv, t_kv, w_pof = _MDTAParams(
                 self.channels, self.num_heads, name="attn")()
@@ -577,23 +627,15 @@ class SpectralBlock(nn.Module):
                          name="attn")(
                 LayerNorm(dtype=self.dtype, axis=ax, name="norm1")(x)
             )
-        hid = int(self.channels * self.expansion_factor)
-        if self.channels_first and _fused_gdfn_enabled():
-            its = jnp.dtype(self.dtype).itemsize
-            whole_ok = fused_block.supports(
-                x.shape[2], x.shape[3], self.channels, hid, its)
-            bmode = _gdfn_banded_mode()
-            banded = bmode != "0" and fused_gdfn_banded.supports(
-                x.shape[2], x.shape[3], self.channels, hid, its)
-            if banded or whole_ok:
-                scale, bias = _LNParams(self.channels, name="norm2")()
-                w_in, w_dw, w_out = _GDFNParams(self.channels, hid,
-                                                name="ffn")()
-                if banded:
-                    return fused_gdfn_banded.fused_ln_gdfn_banded(
-                        x, scale, bias, w_in, w_dw, w_out)
-                return fused_block.fused_ln_gdfn(x, scale, bias, w_in, w_dw,
-                                                 w_out)
+        if gdfn_kind is not None:
+            scale, bias = _LNParams(self.channels, name="norm2")()
+            w_in, w_dw, w_out = _GDFNParams(self.channels, hid,
+                                            name="ffn")()
+            if gdfn_kind == "banded":
+                return fused_gdfn_banded.fused_ln_gdfn_banded(
+                    x, scale, bias, w_in, w_dw, w_out)
+            return fused_block.fused_ln_gdfn(x, scale, bias, w_in, w_dw,
+                                             w_out)
         x = x + GDFN(self.channels, self.expansion_factor, dtype=self.dtype,
                      channels_first=self.channels_first, name="ffn")(
             LayerNorm(dtype=self.dtype, axis=ax, name="norm2")(x)
@@ -770,6 +812,19 @@ class SpectralTransformer(nn.Module):
             # one transpose pair per stage deletes the NHWC lane-padding
             # tax on every block intermediate (see _chw_enabled)
             cf = _use_chw(y.shape, self.mesh)
+            stage_block_cls = block_cls
+            if cf and self.remat and not _remat_fused_blocks():
+                # fully-fused blocks skip jax.checkpoint: the Pallas
+                # kernels' custom VJPs recompute in VMEM and their saved
+                # residuals (x, post-attn mid, O(C) stats) cost no more
+                # HBM than remat's saved x, while the checkpoint wrapper
+                # would replay both kernel forwards in the backward (see
+                # block_fused_plan / _remat_fused_blocks)
+                ak, gk = block_fused_plan(
+                    y.shape[1], y.shape[2], c,
+                    int(c * ef), jnp.dtype(self.dtype).itemsize)
+                if ak is not None and gk is not None:
+                    stage_block_cls = SpectralBlock
             if cf:
                 y = jnp.transpose(y, (0, 3, 1, 2))
             if self.scan_blocks:
@@ -786,9 +841,9 @@ class SpectralTransformer(nn.Module):
                                 name=f"{name}_blocks")(y, None)
             else:
                 for i in range(n):
-                    y = block_cls(c, heads, ef, dtype=self.dtype,
-                                  mesh=self.mesh, channels_first=cf,
-                                  name=f"{name}_{i}")(y)
+                    y = stage_block_cls(c, heads, ef, dtype=self.dtype,
+                                        mesh=self.mesh, channels_first=cf,
+                                        name=f"{name}_{i}")(y)
             if cf:
                 y = jnp.transpose(y, (0, 2, 3, 1))
             return y
