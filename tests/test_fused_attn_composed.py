@@ -103,6 +103,31 @@ def test_composed_multichunk_matches(block_setup, monkeypatch):
     _assert_tree_close(g_c, g_u)
 
 
+def test_composed_w64_matches_unfused(monkeypatch):
+    """W=64 (the 64² C=64 level, _w_ok extension): pin the composed
+    kernel's fwd + grads against the unfused chw path at a two-chunk
+    W=64 shape."""
+    monkeypatch.setenv("UIRT_CHW", "1")
+    monkeypatch.setenv("UIRT_FUSED_GDFN", "0")
+    m = SpectralBlock(channels=C, num_heads=NH, expansion_factor=2.66,
+                      channels_first=True)
+    x = jnp.asarray(
+        np.random.default_rng(11).standard_normal((B, C, 8, 64)),
+        jnp.float32)
+    assert fused_attn_composed.supports(8, 64, C)
+    monkeypatch.setattr(fused_attn_composed, "pick_hc", lambda h, w, c: 4)
+    monkeypatch.setenv("UIRT_FUSED_ATTN", "1")
+    monkeypatch.setenv("UIRT_ATTN_COMPOSED", "1")
+    params = m.init(jax.random.PRNGKey(0), x)
+    y_c, g_c = _run(m, params, x)
+    monkeypatch.setenv("UIRT_FUSED_ATTN", "0")
+    monkeypatch.setenv("UIRT_ATTN_COMPOSED", "0")
+    y_u, g_u = _run(m, params, x)
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_u),
+                               rtol=3e-5, atol=3e-5)
+    _assert_tree_close(g_c, g_u)
+
+
 def test_composed_rejects_unsupported():
     x = jnp.zeros((1, 6, 16, 128), jnp.float32)
     with pytest.raises(ValueError, match="unsupported"):

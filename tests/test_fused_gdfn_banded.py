@@ -139,6 +139,42 @@ def _block_apply(env: dict, monkeypatch):
     return params, y, gp, gx
 
 
+def test_banded_w64_matches_unfused(monkeypatch):
+    """W=64 (the 64² C=64 level's width, _w_ok extension): column masks,
+    shift offsets and DMA windows are general in W — pin fwd + all six
+    grads at a two-chunk W=64 shape."""
+    rng = np.random.default_rng(7)
+    c, h, w = 8, 8, 64
+    hid = int(c * 2.66)
+    args = (
+        jnp.asarray(rng.standard_normal((2, c, h, w)), jnp.float32),
+        jnp.asarray(rng.standard_normal(c), jnp.float32) * 0.1 + 1.0,
+        jnp.asarray(rng.standard_normal(c), jnp.float32) * 0.1,
+        jnp.asarray(rng.standard_normal((c, 2 * hid)), jnp.float32) * 0.2,
+        jnp.asarray(rng.standard_normal((3, 3, 2 * hid)), jnp.float32) * 0.2,
+        jnp.asarray(rng.standard_normal((hid, c)), jnp.float32) * 0.2,
+    )
+    assert supports(h, w, c, hid)
+    monkeypatch.setattr(fused_gdfn_banded, "pick_hc", lambda *a: 4)
+    y_ref = _unfused(*args)
+    y_f = fused_ln_gdfn_banded(*args)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.tanh(fn(*a)))
+
+    g_ref = jax.grad(loss(_unfused), argnums=tuple(range(6)))(*args)
+    g_f = jax.grad(loss(fused_ln_gdfn_banded),
+                   argnums=tuple(range(6)))(*args)
+    for name, a, b in zip(["dx", "dscale", "dbias", "dwin", "dwdw",
+                           "dwout"], g_ref, g_f):
+        ref = np.asarray(a)
+        tol = 2e-5 * max(1.0, float(np.max(np.abs(ref))))
+        np.testing.assert_allclose(np.asarray(b), ref, rtol=1e-4, atol=tol,
+                                   err_msg=name)
+
+
 def test_spectral_block_banded_dispatch_matches(monkeypatch):
     """UIRT_GDFN_BANDED=1 (banded fused) vs UIRT_FUSED_GDFN=0 (unfused):
     same param tree, same outputs, same grads."""

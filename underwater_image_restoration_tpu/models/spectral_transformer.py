@@ -805,13 +805,29 @@ class SpectralTransformer(nn.Module):
         # train resolution
         rt = make_remat(self.remat, self.remat_policy)
         block_cls = rt(SpectralBlock)
-        ups_cls = rt(UpS)
+        # UIRT_REMAT_UPS=0 keeps the UpS modules un-checkpointed (A/B
+        # probe: their spectral path re-runs c64 FFTs in the backward
+        # under remat; NOT storing them costs complex64 residuals that
+        # only fit comfortably below the 1024² train res)
+        ups_cls = (UpS if os.environ.get("UIRT_REMAT_UPS", "1") == "0"
+                   else rt(UpS))
 
         def stage(y, n, c, heads, name):
-            # channels-first block layout where it pays (C < W, no CP):
-            # one transpose pair per stage deletes the NHWC lane-padding
-            # tax on every block intermediate (see _chw_enabled)
+            # channels-first block layout where it pays: C < W (lane
+            # padding beats spatial padding), or — regardless of C vs W —
+            # when BOTH block halves dispatch to the flat-(C, H*W) fused
+            # kernels, whose lane dim is positions (padding-free for any
+            # C).  The 64² C=64 level fails c<w but fully fuses (w=64
+            # passes _w_ok), so it runs chw + kernels.
             cf = _use_chw(y.shape, self.mesh)
+            plan_hw = (y.shape[1], y.shape[2])
+            its = jnp.dtype(self.dtype).itemsize
+            if not cf and _chw_enabled() and y.shape[3] == c:
+                from ..parallel.cp_ops import context_size
+
+                if context_size(self.mesh) <= 1:
+                    ak, gk = block_fused_plan(*plan_hw, c, int(c * ef), its)
+                    cf = ak is not None and gk is not None
             stage_block_cls = block_cls
             if cf and self.remat and not _remat_fused_blocks():
                 # fully-fused blocks skip jax.checkpoint: the Pallas

@@ -60,6 +60,7 @@ from .fused_block import (
     _vmem_full,
     _zero_guards,
     _TAPS,
+    _w_ok,
 )
 from .fused_gdfn_banded import _decompose_dk
 
@@ -102,7 +103,7 @@ def supports(h: int, w: int, c: int | None = None,
              itemsize: int = 2) -> bool:
     """Shape gate: no whole-image terms — static scratch at the chosen
     chunk size only (the 1024² full-res levels qualify)."""
-    if w % 128 or h % 8:
+    if not _w_ok(w) or h % 8:
         return False
     if c is None:
         return True
@@ -190,7 +191,9 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
         r0 = pl.multiple_of(i * hc, hc)
         _dma_x_window(x_hbm, b, xw2, sem_in, i, nchunks, hc, h, w, dtype,
                       halo=1)
-        ln, _, _ = _ln_flat(xw2[:].astype(f32), scale, bias, eps)
+        ln, _, _ = _ln_flat(
+            xw2[:, pl.ds(0 if w % 128 == 0 else w, n2)].astype(f32),
+            scale, bias, eps)
         rmask = _row_mask(r0, hc, h, w, n2)
         lnbuf[:, pl.ds(p, n2)] = jnp.where(rmask, ln, 0.0).astype(dtype)
         _stack(s_ref, lnbuf, masks, c, p, w, n, dtype)
@@ -465,8 +468,10 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
     def loop2(i, _):
         r0 = pl.multiple_of(i * hc, hc)
         _dma_x_window(x_hbm, b, xw2, sem_in, i, nchunks, hc, h, w,
-                      dtype, halo=1)
-        ln, _, _ = _ln_flat(xw2[:].astype(f32), scale, bias, eps)
+                      dtype, halo=1 if w % 128 == 0 else 2)
+        ln, _, _ = _ln_flat(
+            xw2[:, pl.ds(0 if w % 128 == 0 else w, n2)].astype(f32),
+            scale, bias, eps)
         rmask2 = _row_mask(r0, hc, h, w, n2)
         lnbuf[:, pl.ds(p, n2)] = jnp.where(rmask2, ln, 0.0).astype(dtype)
         _stack(s_ref, lnbuf, masks, c, p, w, n, dtype)
@@ -501,7 +506,7 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
         dlpend[:] = dlnacc[:, pl.ds(128 + w, n)]
         dlpend[:, pl.ds(0, w)] += dlcarry[:]
         dlcarry[:] = dlnacc[:, pl.ds(128 + w + n, w)]
-        xprev[:] = xw2[:, pl.ds(w, n)]
+        xprev[:] = xw2[:, pl.ds(w if w % 128 == 0 else 2 * w, n)]
         return 0
 
     jax.lax.fori_loop(0, nchunks, loop2, 0)
@@ -545,7 +550,9 @@ def _fwd_call(x, scale, bias, w_qkv, t_qkv, temp, w_po, w_kv, t_kv, w_pof,
         ],
         scratch_shapes=[
             pltpu.VMEM((c, n4), x.dtype),
-            pltpu.VMEM((c, n2), x.dtype),
+            # xw2: halo-1 frame, fetched via a halo-2 aligned DMA
+            # window at W=64 (see _dma_x_window alignment note)
+            pltpu.VMEM((c, n2 if w % 128 == 0 else n4), x.dtype),
             pltpu.VMEM((c, n4 + 2 * p), x.dtype),
             pltpu.VMEM((c, n2 + 2 * p), x.dtype),
             pltpu.VMEM((9 * c, n2), x.dtype),
@@ -607,7 +614,9 @@ def _bwd_call(x, dy, scale, bias, w_qkv, t_qkv, temp, w_po, w_kv, t_kv,
         ],
         scratch_shapes=[
             pltpu.VMEM((c, n4), x.dtype),
-            pltpu.VMEM((c, n2), x.dtype),
+            # xw2: halo-1 frame, fetched via a halo-2 aligned DMA
+            # window at W=64 (see _dma_x_window alignment note)
+            pltpu.VMEM((c, n2 if w % 128 == 0 else n4), x.dtype),
             pltpu.VMEM((c, n4 + 2 * p), x.dtype),
             pltpu.VMEM((c, n2 + 2 * p), x.dtype),
             pltpu.VMEM((9 * c, n2), x.dtype),

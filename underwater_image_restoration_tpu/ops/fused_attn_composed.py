@@ -59,6 +59,7 @@ from .fused_block import (
     _vmem_full,
     _zero_guards,
     _TAPS,
+    _w_ok,
 )
 from .fused_gdfn_banded import _build_k, _decompose_dk
 
@@ -82,7 +83,7 @@ def supports(h: int, w: int, c: int | None = None,
     """Shape gate: same whole-image residency model as ``fused_attn``
     (fwd keeps x, bwd keeps dLN + d(out) per image in VMEM) plus the
     composed stack's chunk set."""
-    if w % 128 or h % 8:
+    if not _w_ok(w) or h % 8:
         return False
     if c is None:
         return True
@@ -163,8 +164,16 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
 
     def stats_chunk(i, _):
         r0 = pl.multiple_of(i * hc, hc)
-        base1 = pl.multiple_of((i * hc + 1) * w, 128)
-        xh = xp[:, pl.ds(base1, n2)].astype(f32)
+        # dynamic lane offsets must be provably 128-aligned (Mosaic
+        # rejects otherwise); at W=64 the row-1 origin (i*hc+1)*W is only
+        # W-aligned, so load the aligned enclosing window and slice the
+        # halo-1 frame out statically
+        if w % 128 == 0:
+            base1 = pl.multiple_of((i * hc + 1) * w, 128)
+            xh = xp[:, pl.ds(base1, n2)].astype(f32)
+        else:
+            base0 = pl.multiple_of(i * hc * w, 128)
+            xh = xp[:, pl.ds(base0, n4)][:, w:w + n2].astype(f32)
         ln, _, _ = _ln_flat(xh, scale, bias, eps)
         rmask = _row_mask(r0, hc, h, w, n2)
         lnbuf[:, pl.ds(p, n2)] = jnp.where(rmask, ln, 0.0).astype(dtype)
@@ -337,10 +346,11 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
     def pass2(i, _):
         r0 = pl.multiple_of(i * hc, hc)
         base0 = pl.multiple_of(i * hc * w, 128)
-        base1 = pl.multiple_of((i * hc + 1) * w, 128)
         _dma_x_window(x_hbm, b, xw2, sem_in, i, nchunks, hc, h, w,
-                      dtype, halo=1)
-        ln, _, _ = _ln_flat(xw2[:].astype(f32), scale, bias, eps)
+                      dtype, halo=1 if w % 128 == 0 else 2)
+        ln, _, _ = _ln_flat(
+            xw2[:, pl.ds(0 if w % 128 == 0 else w, n2)].astype(f32),
+            scale, bias, eps)
         rmask2 = _row_mask(r0, hc, h, w, n2)
         lnbuf[:, pl.ds(p, n2)] = jnp.where(rmask2, ln, 0.0).astype(dtype)
         _stack(s_ref, lnbuf, masks, c, p, w, n, dtype)
@@ -349,7 +359,11 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
                                 preferred_element_type=f32)
         outs = jax.lax.dot_general(ablk_s[:], v, (((1,), (0,)), ((), ())),
                                    preferred_element_type=f32).astype(dtype)
-        doutd = douts[:, pl.ds(base1, n)]
+        if w % 128 == 0:
+            doutd = douts[:, pl.ds(pl.multiple_of((i * hc + 1) * w, 128),
+                                   n)]
+        else:  # aligned enclosing window + static slice (see stats_chunk)
+            doutd = douts[:, pl.ds(base0, n2)][:, w:w + n]
         dwpo_ref[:, :] += jax.lax.dot_general(
             outs, doutd, (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
@@ -398,8 +412,10 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
         r0 = pl.multiple_of(i * hc, hc)
         base0 = pl.multiple_of(i * hc * w, 128)
         _dma_x_window(x_hbm, b, xw2, sem_in, i, nchunks, hc, h, w,
-                      dtype, halo=1)
-        ln, _, _ = _ln_flat(xw2[:].astype(f32), scale, bias, eps)
+                      dtype, halo=1 if w % 128 == 0 else 2)
+        ln, _, _ = _ln_flat(
+            xw2[:, pl.ds(0 if w % 128 == 0 else w, n2)].astype(f32),
+            scale, bias, eps)
         rmask2 = _row_mask(r0, hc, h, w, n2)
         lnbuf[:, pl.ds(p, n2)] = jnp.where(rmask2, ln, 0.0).astype(dtype)
         _stack(s_ref, lnbuf, masks, c, p, w, n, dtype)
@@ -438,7 +454,6 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
     # ---- pass 4: LayerNorm backward -> dx --------------------------------
     def pass4(i, _):
         base0 = pl.multiple_of(i * hc * w, 128)
-        base1 = pl.multiple_of((i * hc + 1) * w, 128)
         cp_dy = pltpu.make_async_copy(
             dy_hbm.at[b, :, pl.ds(base0, n)], dych, sem_dy)
         cp_dy.start()
@@ -451,7 +466,11 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
         var = jnp.mean(jnp.square(xf - mean), axis=0, keepdims=True)
         rstd = jax.lax.rsqrt(var + eps)
         xhat = (xf - mean) * rstd
-        dln = dxl[:, pl.ds(base1, n)].astype(f32)
+        if w % 128 == 0:
+            dln = dxl[:, pl.ds(pl.multiple_of((i * hc + 1) * w, 128),
+                               n)].astype(f32)
+        else:  # aligned enclosing window + static slice (see stats_chunk)
+            dln = dxl[:, pl.ds(base0, n2)][:, w:w + n].astype(f32)
         dscale_ref[:, :] += jnp.sum(dln * xhat, axis=1, keepdims=True)
         dbias_ref[:, :] += jnp.sum(dln, axis=1, keepdims=True)
         ds2 = dln * scale
@@ -580,7 +599,9 @@ def _bwd_call(x, dy, scale, bias, w_qkv, t_qkv, temp, w_po, w_kv, t_kv,
         ],
         scratch_shapes=[
             pltpu.VMEM((c, n4), x.dtype),
-            pltpu.VMEM((c, n2), x.dtype),
+            # xw2: halo-1 frame, fetched via a halo-2 aligned DMA
+            # window at W=64 (see _dma_x_window alignment note)
+            pltpu.VMEM((c, n2 if w % 128 == 0 else n4), x.dtype),
             pltpu.VMEM((c, (h + 2) * w), x.dtype),
             pltpu.VMEM((c, (h + 2) * w), x.dtype),
             pltpu.VMEM((c, n4 + 2 * p), x.dtype),

@@ -99,6 +99,19 @@ def _gelu_grad(x):
 _TAPS = tuple((dh, dw) for dh in range(3) for dw in range(3))
 
 
+def _w_ok(w: int) -> bool:
+    """Width gate for the flat-(C, H*W) kernels.  All shift offsets,
+    column masks, and frame arithmetic are fully general in W (the flat
+    index's vertical neighbor is just ±W); the remaining constraints are
+    lane-granularity ones: chunk sizes hc·W and the output-DMA bases
+    r0·W must be 128-multiples, which W=64 satisfies for every even hc
+    (all pick_hc candidates are even).  W=128k is the original gate;
+    W=64 extends the banded/composed kernels to the 64² C=64 level
+    (w=32 stays out: r0·32 bases break 128-alignment for hc=4k+2 and
+    the level is ~3% of the step)."""
+    return w % 128 == 0 or w == 64
+
+
 def pick_hc(h: int, w: int, c: int, g: int) -> int:
     """Largest row-chunk (mult of 8, divides H) whose f32 per-half chunk
     intermediates (~4 live (hid, hc*W) f32 buffers) stay within a ~5 MB
@@ -241,8 +254,12 @@ def _dma_x_window(x_hbm, b, xch, sem, i, nchunks: int, hc: int, h: int,
 
     @pl.when((i > 0) & (i < nchunks - 1))
     def _mid():
+        # honest alignment hint: at w=64 with odd halo the window start
+        # (i*hc - halo)*w is only a 64-multiple (pl.multiple_of is an
+        # UNCHECKED promise — 128 here would miscompile the W=64 levels)
+        al = 128 if (halo * w) % 128 == 0 else w
         cp = pltpu.make_async_copy(
-            x_hbm.at[b, :, pl.ds(pl.multiple_of(i * hc * w - hw, 128),
+            x_hbm.at[b, :, pl.ds(pl.multiple_of(i * hc * w - hw, al),
                                  (hc + 2 * halo) * w)],
             xch.at[:], sem)
         cp.start()

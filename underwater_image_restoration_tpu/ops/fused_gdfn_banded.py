@@ -61,6 +61,7 @@ from .fused_block import (
     _ln_flat,
     _row_mask,
     _vmem_full,
+    _w_ok,
     _zero_guards,
     _TAPS,
 )
@@ -85,7 +86,7 @@ def supports(h: int, w: int, c: int | None = None, hid: int | None = None,
              itemsize: int = 2) -> bool:
     """Shape gate.  No whole-image term: guards + live chunk set at the
     chosen chunk size."""
-    if w % 128 or h % 8:
+    if not _w_ok(w) or h % 8:
         return False
     if c is None or hid is None:
         return True
@@ -140,6 +141,12 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, ka_ref, kb_ref, wout_ref,
     nchunks = h // hc
     f32 = jnp.float32
     b = pl.program_id(0)
+    # HBM DMA slices must be 128-aligned in offset AND length; halo-1
+    # windows at W=64 are odd multiples of 64, so fetch a halo-2 window
+    # (always aligned for even hc) and address the halo-1 frame at the
+    # static in-buffer origin q0 (static VMEM offsets need no alignment)
+    bh = 1 if (w % 128 == 0) else 2
+    q0 = (bh - 1) * w
 
     _zero_guards(lnbuf, p, n2, dtype)
     scale = scale_ref[:].astype(f32)
@@ -152,8 +159,10 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, ka_ref, kb_ref, wout_ref,
     def chunk(i, _):
         r0 = pl.multiple_of(i * hc, hc)
         base = pl.multiple_of(r0 * w, 128)
-        _dma_x_window(x_hbm, b, xw, sem_in, i, nchunks, hc, h, w, dtype)
-        ln, _, _ = _ln_flat(xw[:].astype(f32), scale, bias, eps)
+        _dma_x_window(x_hbm, b, xw, sem_in, i, nchunks, hc, h, w, dtype,
+                      halo=bh)
+        ln, _, _ = _ln_flat(xw[:, pl.ds(q0, n2)].astype(f32), scale, bias,
+                            eps)
         rmask = _row_mask(r0, hc, h, w, n2)
         lnbuf[:, pl.ds(p, n2)] = jnp.where(rmask, ln, 0.0).astype(dtype)
         _build_shift_stack(s_ref, lnbuf, masks, c, p, w, n, dtype)
@@ -165,7 +174,7 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, ka_ref, kb_ref, wout_ref,
         o = (_gelu_exact(t1) * t2).astype(dtype)
         u = jax.lax.dot_general(wout, o, (((0,), (0,)), ((), ())),
                                 preferred_element_type=f32)
-        stage[:] = xw[:, pl.ds(w, n)] + u.astype(dtype)
+        stage[:] = xw[:, pl.ds(q0 + w, n)] + u.astype(dtype)
         cp_out = pltpu.make_async_copy(
             stage, out_hbm.at[b, :, pl.ds(base, n)], sem_out)
         cp_out.start()
@@ -217,14 +226,19 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, ka_ref, kb_ref,
                        - xhat * jnp.mean(ds2 * xhat, axis=0, keepdims=True))
         return dy_res + dxln.astype(dtype)
 
+    bh = 1 if (w % 128 == 0) else 2  # aligned-DMA halo (see _fwd_kernel)
+    q0 = (bh - 1) * w
+
     def chunk(i, _):
         r0 = pl.multiple_of(i * hc, hc)
         base = pl.multiple_of(r0 * w, 128)
         cp_dy = pltpu.make_async_copy(
             dy_hbm.at[b, :, pl.ds(base, n)], stage, sem_dy)
         cp_dy.start()
-        _dma_x_window(x_hbm, b, xw, sem_in, i, nchunks, hc, h, w, dtype)
-        ln, _, _ = _ln_flat(xw[:].astype(f32), scale, bias, eps)
+        _dma_x_window(x_hbm, b, xw, sem_in, i, nchunks, hc, h, w, dtype,
+                      halo=bh)
+        ln, _, _ = _ln_flat(xw[:, pl.ds(q0, n2)].astype(f32), scale, bias,
+                            eps)
         rmask = _row_mask(r0, hc, h, w, n2)
         lnbuf[:, pl.ds(p, n2)] = jnp.where(rmask, ln, 0.0).astype(dtype)
         _build_shift_stack(s_ref, lnbuf, masks, c, p, w, n, dtype)
@@ -284,7 +298,7 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, ka_ref, kb_ref,
         dpend[:] = dlnc[:, w:w + n] + dcarry[:]
         dcarry[:] = jnp.zeros((c, n), f32)
         dcarry[:, pl.ds(0, w)] = dlnc[:, w + n:w + n + w]
-        xprev[:] = xw[:, pl.ds(w, n)]
+        xprev[:] = xw[:, pl.ds(q0 + w, n)]
         dyprev[:] = dyd
         return 0
 
@@ -315,6 +329,7 @@ def _fwd_call(x, scale, bias, w_in, w_dw, w_out, eps, interpret):
     hid = g2 // 2
     hc = pick_hc(h, w, c, hid)
     n, n2 = hc * w, (hc + 2) * w
+    bh = 1 if (w % 128 == 0) else 2  # aligned-DMA halo (see _fwd_kernel)
     p = w + 128
     kern = functools.partial(_fwd_kernel, hc=hc, h=h, w=w, eps=eps,
                              dtype=x.dtype)
@@ -330,7 +345,7 @@ def _fwd_call(x, scale, bias, w_in, w_dw, w_out, eps, interpret):
         out_specs=_any_spec(),
         out_shape=jax.ShapeDtypeStruct((bsz, c, h * w), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((c, n2), x.dtype),
+            pltpu.VMEM((c, (hc + 2 * bh) * w), x.dtype),
             pltpu.VMEM((c, n2 + 2 * p), x.dtype),
             pltpu.VMEM((9 * c, n), x.dtype),
             pltpu.VMEM((c, n), x.dtype),
@@ -348,6 +363,7 @@ def _bwd_call(x, dy, scale, bias, w_in, w_dw, w_out, eps, interpret):
     hid = g2 // 2
     hc = pick_hc(h, w, c, hid)
     n, n2 = hc * w, (hc + 2) * w
+    bh = 1 if (w % 128 == 0) else 2  # aligned-DMA halo (see _fwd_kernel)
     p = w + 128
     f32 = jnp.float32
     kern = functools.partial(_bwd_kernel, hc=hc, h=h, w=w, eps=eps,
@@ -376,7 +392,7 @@ def _bwd_call(x, dy, scale, bias, w_in, w_dw, w_out, eps, interpret):
             jax.ShapeDtypeStruct((hid, c), f32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c, n2), x.dtype),
+            pltpu.VMEM((c, (hc + 2 * bh) * w), x.dtype),
             pltpu.VMEM((c, n2 + 2 * p), x.dtype),
             pltpu.VMEM((9 * c, n), x.dtype),
             pltpu.VMEM((c, n2 + 256), f32),
