@@ -68,6 +68,17 @@ CELLS = [
     # f32->bf16 LayerNorm statistics (prices the f32 round-trips; NOT
     # parity-safe, pricing only)
     ("ln-bf16", [], {"UIRT_LN_BF16": "1"}, {}),
+    # -- round-4b: pricing the residual ~24% (non-block components) --
+    # stem + output 3x3 convs at full res -> channel-mean broadcast
+    ("no-stem-io", ["stem_io"], {}, {}),
+    # DownSample conv3x3 -> channel slice (keeps pixel_unshuffle)
+    ("no-downsample", ["downsample"], {}, {}),
+    # whole UpS module (FFT path + shuffle path + reduce) -> NN-upsample
+    ("no-ups-full", ["ups_full"], {}, {}),
+    # loss -> mean(pred - truth) (prices L1withColor's angle/acos path)
+    ("triv-loss", ["loss"], {}, {}),
+    # adam -> plain sgd (prices the m/v moment streams over all params)
+    ("sgd-opt", ["sgd"], {}, {}),
 ]
 
 
@@ -125,6 +136,50 @@ def apply_patches(names):
                 return x
 
         st.GDFN = _IdGDFN
+    if "stem_io" in names:
+        from underwater_image_restoration_tpu.ops.layers import Conv2d
+
+        _orig_conv = Conv2d.__call__
+
+        def _conv_patched(self, x):
+            if self.name in ("embed_conv_rgb", "outputl", "output"):
+                m = jnp.mean(x, axis=-1, keepdims=True)
+                return jnp.broadcast_to(
+                    m, x.shape[:-1] + (self.features,)).astype(x.dtype)
+            return _orig_conv(self, x)
+
+        Conv2d.__call__ = _conv_patched
+    if "downsample" in names:
+        def _down_patched(self, x):
+            return st.pixel_unshuffle(x[..., : x.shape[-1] // 2], 2)
+
+        st.DownSample.__call__ = _down_patched
+    if "ups_full" in names:
+        def _ups_patched(self, x):
+            y = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            return y[..., : self.channels // 2]
+
+        st.UpS.__call__ = _ups_patched
+    if "loss" in names:
+        import underwater_image_restoration_tpu.losses as _losses
+
+        _losses.LossFunction.__call__ = (
+            lambda self, pred, truth: jnp.mean(
+                pred.astype(jnp.float32) - truth.astype(jnp.float32)))
+    if "sgd" in names:
+        from underwater_image_restoration_tpu.train import optim as _optim
+        from underwater_image_restoration_tpu.train import trainer as _trainer
+
+        _orig_get = _optim.get_optimizer
+
+        def _sgd_get(name, lr, **kw):
+            kw.pop("momentum", None)
+            return _orig_get("sgd", lr, momentum=0.0, **kw)
+
+        # benchlib re-imports the name through the trainer module, so patch
+        # every live binding
+        _optim.get_optimizer = _sgd_get
+        _trainer.get_optimizer = _sgd_get
     if "attn_core" in names:
         import underwater_image_restoration_tpu.models.spectral_transformer as _st
 

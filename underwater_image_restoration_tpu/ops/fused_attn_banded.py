@@ -124,7 +124,7 @@ def _per_tap_matmul(kmat, buf, masks, c: int, p: int, w: int, n: int,
     for k, (dh, dw) in enumerate(_TAPS):
         sl = buf[:, pl.ds(p + dh * w + dw - 1, n)]
         if masks[dw] is not None:
-            sl = (sl.astype(jnp.float32) * masks[dw]).astype(dtype)
+            sl = sl * masks[dw]  # masks in compute dtype: 0/1 is exact
         term = jax.lax.dot_general(
             kmat[k * c:(k + 1) * c, :], sl, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -138,7 +138,7 @@ def _per_tap_wgrad(dkref, buf, dt, masks, c: int, p: int, w: int, n: int,
     for k, (dh, dw) in enumerate(_TAPS):
         sl = buf[:, pl.ds(p + dh * w + dw - 1, n)]
         if masks[dw] is not None:
-            sl = (sl.astype(jnp.float32) * masks[dw]).astype(dtype)
+            sl = sl * masks[dw]  # masks in compute dtype: 0/1 is exact
         dkref[k * c:(k + 1) * c, :] += jax.lax.dot_general(
             sl, dt, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -184,8 +184,8 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
     kvf = kvf_ref[:].astype(dtype)
     wpo = wpo_ref[:].astype(dtype)
     wpof = wpof_ref[:].astype(dtype)
-    masks = _col_masks(w, n)
-    masks2 = _col_masks(w, n2)
+    masks = _col_masks(w, n, dtype)
+    masks2 = _col_masks(w, n2, dtype)
 
     def stats_chunk(i, _):
         r0 = pl.multiple_of(i * hc, hc)
@@ -293,8 +293,8 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
     kvf = kvf_ref[:].astype(dtype)
     wpo = wpo_ref[:].astype(dtype)
     wpof = wpof_ref[:].astype(dtype)
-    masks = _col_masks(w, n)
-    masks2 = _col_masks(w, n2)
+    masks = _col_masks(w, n, dtype)
+    masks2 = _col_masks(w, n2, dtype)
     eyec = _eye(c)
     sel = sel_ref[:].astype(f32)
     temp_col = jax.lax.dot_general(sel, temp_ref[:].astype(f32),

@@ -101,11 +101,13 @@ def _stack(s_ref, buf, masks, c: int, p: int, w: int, nq: int, dtype):
     """S[(k,c), q] = bufshift_k[c, q] for q in [0, nq) — 9 statically-
     offset slices of a guard-padded flat buffer whose q-origin is offset
     p + w; column-wrapping shifts masked to zero (zero-pad semantics).
-    masks must be _col_masks(w, nq)."""
+    masks must be _col_masks(w, nq, dtype) — the compute-dtype 0/1
+    multiply is exact and skips the f32 cast round-trip per element."""
+    del dtype
     for k, (dh, dw) in enumerate(_TAPS):
         sl = buf[:, pl.ds(p + dh * w + dw - 1, nq)]
         if masks[dw] is not None:
-            sl = (sl.astype(jnp.float32) * masks[dw]).astype(dtype)
+            sl = sl * masks[dw]
         s_ref[k * c:(k + 1) * c, pl.ds(0, nq)] = sl
 
 
@@ -114,11 +116,13 @@ def _scatter_frame(ds_d, dlnacc, masks, c: int, w: int, nq: int):
     zeroed (C, nq + 2W + 256) f32 frame; returns nothing (accumulates in
     place).  Frame rows cover the receiving window [q0-1, q0+nq/W+1);
     the same masks[dw] as the forward read kill the same positions q of
-    S_k on the cotangent side."""
+    S_k on the cotangent side.  masks may be in the stack dtype (0/1
+    multiplies commute with the f32 cast exactly)."""
     for k, (dh, dw) in enumerate(_TAPS):
-        blkv = ds_d[k * c:(k + 1) * c, :].astype(jnp.float32)
+        blkv = ds_d[k * c:(k + 1) * c, :]
         if masks[dw] is not None:
             blkv = blkv * masks[dw]
+        blkv = blkv.astype(jnp.float32)
         off = 128 + w + (dh - 1) * w + (dw - 1)
         dlnacc[:, pl.ds(off, nq)] += blkv
 
@@ -158,8 +162,8 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
     kvf = kvf_ref[:].astype(dtype)
     wpo = wpo_ref[:].astype(dtype)
     wpof = wpof_ref[:].astype(dtype)
-    masks = _col_masks(w, n)
-    masks2 = _col_masks(w, n2)
+    masks = _col_masks(w, n, dtype)
+    masks2 = _col_masks(w, n2, dtype)
     cp_in.wait()
 
     def stats_chunk(i, _):
@@ -277,8 +281,8 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
     kvf = kvf_ref[:].astype(dtype)
     wpo = wpo_ref[:].astype(dtype)
     wpof = wpof_ref[:].astype(dtype)
-    masks = _col_masks(w, n)
-    masks2 = _col_masks(w, n2)
+    masks = _col_masks(w, n, dtype)
+    masks2 = _col_masks(w, n2, dtype)
     eyec = _eye(c)
     sel = sel_ref[:].astype(f32)
     temp_col = jax.lax.dot_general(sel, temp_ref[:].astype(f32),

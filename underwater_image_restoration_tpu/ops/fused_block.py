@@ -152,14 +152,17 @@ def _ln_flat(xf, scale, bias, eps):
     return xhat * scale + bias, xhat, rstd
 
 
-def _col_masks(w: int, n: int):
-    """Lane masks killing row-wrapped column shifts: (1, n) f32, col = lane
-    index mod W.  [dw] -> mask for the forward shift by (dw-1) columns."""
+def _col_masks(w: int, n: int, dtype=jnp.float32):
+    """Lane masks killing row-wrapped column shifts: (1, n) ``dtype``, col =
+    lane index mod W.  [dw] -> mask for the forward shift by (dw-1) columns.
+    Multiplying by a 0/1 mask is exact in any float dtype, so stack builders
+    pass the compute dtype to skip the f32 cast round-trip per element;
+    f32 accumulation sites keep the default."""
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) % w
     return {
-        0: (col != 0).astype(jnp.float32),       # left neighbor: col 0 wraps
+        0: (col != 0).astype(dtype),             # left neighbor: col 0 wraps
         1: None,
-        2: (col != w - 1).astype(jnp.float32),   # right neighbor: col W-1
+        2: (col != w - 1).astype(dtype),         # right neighbor: col W-1
     }
 
 

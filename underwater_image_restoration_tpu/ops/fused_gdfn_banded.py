@@ -124,11 +124,14 @@ def _build_shift_stack(s_ref, lnbuf, masks, c: int, p: int, w: int, n: int,
                        dtype):
     """S[(k,c), q] = lnshift_k[c, q] — 9 statically-offset (C, n) slices of
     the guard-padded LN buffer, column-wrapping shifts masked to zero
-    (zero-pad semantics).  Shared by both gated halves."""
+    (zero-pad semantics).  Shared by both gated halves.  ``masks`` must be
+    ``_col_masks(w, n, dtype)`` — a 0/1 multiply is exact in the compute
+    dtype, skipping the f32 cast round-trip per element."""
+    del dtype
     for k, (dh, dw) in enumerate(_TAPS):
         sl = lnbuf[:, pl.ds(p + dh * w + dw - 1, n)]
         if masks[dw] is not None:
-            sl = (sl.astype(jnp.float32) * masks[dw]).astype(dtype)
+            sl = sl * masks[dw]
         s_ref[k * c:(k + 1) * c, :] = sl
 
 
@@ -154,7 +157,7 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, ka_ref, kb_ref, wout_ref,
     ka = ka_ref[:].astype(dtype)
     kb = kb_ref[:].astype(dtype)
     wout = wout_ref[:].astype(dtype)
-    masks = _col_masks(w, n)
+    masks = _col_masks(w, n, dtype)
 
     def chunk(i, _):
         r0 = pl.multiple_of(i * hc, hc)
@@ -210,7 +213,8 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, ka_ref, kb_ref,
     ka = ka_ref[:].astype(dtype)
     kb = kb_ref[:].astype(dtype)
     wout = wout_ref[:].astype(dtype)
-    masks = _col_masks(w, n)
+    masks = _col_masks(w, n)            # f32: scatter-side cotangent masks
+    masks_d = _col_masks(w, n, dtype)   # compute-dtype: stack builds
 
     def _ln_bwd_out(xf, dln, dy_res):
         """LayerNorm backward for one finalized block + residual dy; also
@@ -241,7 +245,7 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, ka_ref, kb_ref,
                             eps)
         rmask = _row_mask(r0, hc, h, w, n2)
         lnbuf[:, pl.ds(p, n2)] = jnp.where(rmask, ln, 0.0).astype(dtype)
-        _build_shift_stack(s_ref, lnbuf, masks, c, p, w, n, dtype)
+        _build_shift_stack(s_ref, lnbuf, masks_d, c, p, w, n, dtype)
         s = s_ref[:]
         t1 = jax.lax.dot_general(ka, s, (((0,), (0,)), ((), ())),
                                  preferred_element_type=f32)
