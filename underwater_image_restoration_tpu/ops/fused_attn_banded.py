@@ -55,7 +55,10 @@ from .fused_block import (
     _any_spec,
     _col_masks,
     _dma_x_window,
+    _dma_x_window_start,
+    _dma_x_window_wait,
     _ln_flat,
+    _pipelined_loop,
     _row_mask,
     _vmem_full,
     _zero_guards,
@@ -92,6 +95,8 @@ def _static_bytes(hc: int, w: int, c: int, itemsize: int = 2) -> int:
         + c * n * 4                        # f32 stage (dlnv write / read)
         + 2 * c * n * itemsize             # dych + stage
         + c * n * itemsize                 # xprev
+        # input-pipelining double buffers (xwb / xw2b / dychb, fwd + bwd)
+        + c * n4 * itemsize + c * n2 * itemsize + c * n * itemsize
         # headroom for Mosaic's live f32 chunk temps: hardware measured
         # the hc=8 backward at C=32/512² 1.39 MB over the 16 MB scoped
         # limit with a 4x term — 10x keeps the model honest
@@ -161,8 +166,14 @@ def _per_tap_scatter(kmat, dt, dlnacc, masks, c: int, w: int, n: int):
 def _fwd_kernel(x_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
                 temp_ref, sel_ref, blk_ref, wpo_ref, kvf_ref, wpof_ref,
                 out_hbm, g_ref, sq_ref, sk_ref,
-                xw, xw2, lnbuf, obuf, s_ref, ablk_s, stage, sem_in,
-                sem_out, *, hc: int, h: int, w: int, eps: float, dtype):
+                xw, xwb, xw2, xw2b, lnbuf, obuf, s_ref, ablk_s, stage,
+                stageb, sem_in, sem_inb, sem_out, sem_outb, *,
+                hc: int, h: int, w: int, eps: float, dtype):
+    """Both streaming loops are lag-1 pipelined (see the gdfn_banded
+    forward): chunk i+1's halo window streams in while chunk i computes,
+    and the out-loop's output DMA is waited on only before its stage
+    buffer's reuse two chunks later.  Slots unroll statically (chunks
+    2j / 2j+1 -> buffer pairs), with a serial fallback for odd nchunks."""
     c = scale_ref.shape[0]
     n, n2, n4 = hc * w, (hc + 2) * w, (hc + 4) * w
     p = w + 128
@@ -187,12 +198,10 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
     masks = _col_masks(w, n, dtype)
     masks2 = _col_masks(w, n2, dtype)
 
-    def stats_chunk(i, _):
+    def stats_compute(i, xwin):
         r0 = pl.multiple_of(i * hc, hc)
-        _dma_x_window(x_hbm, b, xw2, sem_in, i, nchunks, hc, h, w, dtype,
-                      halo=1)
         ln, _, _ = _ln_flat(
-            xw2[:, pl.ds(0 if w % 128 == 0 else w, n2)].astype(f32),
+            xwin[:, pl.ds(0 if w % 128 == 0 else w, n2)].astype(f32),
             scale, bias, eps)
         rmask = _row_mask(r0, hc, h, w, n2)
         lnbuf[:, pl.ds(p, n2)] = jnp.where(rmask, ln, 0.0).astype(dtype)
@@ -207,9 +216,14 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
         qf, kf = q.astype(f32), k.astype(f32)
         sq_ref[:, :] += jnp.sum(qf * qf, axis=1, keepdims=True)
         sk_ref[:, :] += jnp.sum(kf * kf, axis=1, keepdims=True)
-        return 0
 
-    jax.lax.fori_loop(0, nchunks, stats_chunk, 0)
+    _pipelined_loop(
+        nchunks,
+        lambda i, buf, sem: _dma_x_window_start(
+            x_hbm, b, buf, sem, i, nchunks, hc, h, w, dtype, halo=1),
+        lambda i, buf, sem: _dma_x_window_wait(
+            x_hbm, b, buf, sem, i, nchunks, hc, h, w, halo=1),
+        stats_compute, (xw2, sem_in), (xw2b, sem_inb))
 
     eyec = _eye(c)
     temp_col = jax.lax.dot_general(
@@ -219,12 +233,10 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
                                      temp_col, blk_ref[:], eyec)
     ablk_s[:] = ablk
 
-    def out_chunk(i, _):
+    def out_compute(i, xwin, stg, sem_o):
         r0 = pl.multiple_of(i * hc, hc)
         base0 = pl.multiple_of(i * hc * w, 128)
-        _dma_x_window(x_hbm, b, xw, sem_in, i, nchunks, hc, h, w, dtype,
-                      halo=2)
-        ln, _, _ = _ln_flat(xw[:].astype(f32), scale, bias, eps)
+        ln, _, _ = _ln_flat(xwin[:].astype(f32), scale, bias, eps)
         rmask4 = _row_mask(r0, hc, h, w, n4, halo=2)
         lnbuf[:, pl.ds(p, n4)] = jnp.where(rmask4, ln, 0.0).astype(dtype)
         _stack(s_ref, lnbuf, masks2, c, p, w, n2, dtype)
@@ -243,14 +255,60 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
                                    preferred_element_type=f32).astype(dtype)
         yout = jax.lax.dot_general(wpof, outf, (((0,), (0,)), ((), ())),
                                    preferred_element_type=f32)
-        stage[:] = xw[:, pl.ds(2 * w, n)] + yout.astype(dtype)
-        cp_out = pltpu.make_async_copy(
-            stage, out_hbm.at[b, :, pl.ds(base0, n)], sem_out)
-        cp_out.start()
-        cp_out.wait()
+        stg[:] = xwin[:, pl.ds(2 * w, n)] + yout.astype(dtype)
+        pltpu.make_async_copy(
+            stg, out_hbm.at[b, :, pl.ds(base0, n)], sem_o).start()
+
+    def out_wait(i, stg, sem_o):
+        base0 = pl.multiple_of(i * hc * w, 128)
+        pltpu.make_async_copy(
+            stg, out_hbm.at[b, :, pl.ds(base0, n)], sem_o).wait()
+
+    if nchunks % 2 or nchunks < 2:
+        def out_chunk(i, _):
+            _dma_x_window(x_hbm, b, xw, sem_in, i, nchunks, hc, h, w,
+                          dtype, halo=2)
+            out_compute(i, xw, stage, sem_out)
+            out_wait(i, stage, sem_out)
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, out_chunk, 0)
+        return
+
+    _dma_x_window_start(x_hbm, b, xw, sem_in, 0, nchunks, hc, h, w, dtype,
+                        halo=2)
+
+    def out_pair(j, _):
+        i0 = 2 * j
+        _dma_x_window_start(x_hbm, b, xwb, sem_inb, i0 + 1, nchunks, hc,
+                            h, w, dtype, halo=2)
+        _dma_x_window_wait(x_hbm, b, xw, sem_in, i0, nchunks, hc, h, w,
+                           halo=2)
+
+        @pl.when(j > 0)
+        def _drain0():
+            out_wait(i0 - 2, stage, sem_out)
+
+        out_compute(i0, xw, stage, sem_out)
+
+        @pl.when(i0 + 2 < nchunks)
+        def _pre0():
+            _dma_x_window_start(x_hbm, b, xw, sem_in, i0 + 2, nchunks, hc,
+                                h, w, dtype, halo=2)
+
+        _dma_x_window_wait(x_hbm, b, xwb, sem_inb, i0 + 1, nchunks, hc, h,
+                           w, halo=2)
+
+        @pl.when(j > 0)
+        def _drain1():
+            out_wait(i0 - 1, stageb, sem_outb)
+
+        out_compute(i0 + 1, xwb, stageb, sem_outb)
         return 0
 
-    jax.lax.fori_loop(0, nchunks, out_chunk, 0)
+    jax.lax.fori_loop(0, nchunks // 2, out_pair, 0)
+    out_wait(nchunks - 2, stage, sem_out)
+    out_wait(nchunks - 1, stageb, sem_outb)
 
 
 def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
@@ -258,11 +316,11 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
                 g_ref, sq_ref, sk_ref,
                 dx_hbm, dlnv_hbm, dscale_ref, dbias_ref, dkq_ref, dkk_ref,
                 dkv_ref, dtemp_ref, dwpo_ref, dkvf_ref, dwpof_ref,
-                xw, xw2, lnbuf, obuf, s_ref, sprev, vprev,
+                xw, xwb, xw2, xw2b, lnbuf, obuf, s_ref, sprev, vprev,
                 dlnacc, dlnacc2, dopend, docarry, dlpend, dlcarry,
                 f32stage, da_s, ablk_s, m_s, dsq_s, dsk_s,
-                dych, stage, xprev,
-                sem_in, sem_dy, sem_out, sem_ln, *,
+                dych, dychb, stage, xprev,
+                sem_in, sem_inb, sem_dy, sem_dyb, sem_out, sem_ln, *,
                 hc: int, h: int, w: int, eps: float, dtype):
     c = scale_ref.shape[0]
     n, n2, n4 = hc * w, (hc + 2) * w, (hc + 4) * w
@@ -347,15 +405,19 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
         dlpend[:, pl.ds(0, w)] += dlcarry[:]
         dlcarry[:] = dlnacc2[:, pl.ds(128 + w + n, w)]
 
-    def loop1(i, _):
-        r0 = pl.multiple_of(i * hc, hc)
+    def start_dy(i, dyb, sem):
         base0 = pl.multiple_of(i * hc * w, 128)
-        cp_dy = pltpu.make_async_copy(
-            dy_hbm.at[b, :, pl.ds(base0, n)], dych, sem_dy)
-        cp_dy.start()
-        _dma_x_window(x_hbm, b, xw, sem_in, i, nchunks, hc, h, w, dtype,
-                      halo=2)
-        ln, _, _ = _ln_flat(xw[:].astype(f32), scale, bias, eps)
+        pltpu.make_async_copy(
+            dy_hbm.at[b, :, pl.ds(base0, n)], dyb, sem).start()
+
+    def wait_dy(i, dyb, sem):
+        base0 = pl.multiple_of(i * hc * w, 128)
+        pltpu.make_async_copy(
+            dy_hbm.at[b, :, pl.ds(base0, n)], dyb, sem).wait()
+
+    def loop1_core(i, xwin, dyb):
+        r0 = pl.multiple_of(i * hc, hc)
+        ln, _, _ = _ln_flat(xwin[:].astype(f32), scale, bias, eps)
         rmask4 = _row_mask(r0, hc, h, w, n4, halo=2)
         lnbuf[:, pl.ds(p, n4)] = jnp.where(rmask4, ln, 0.0).astype(dtype)
         _stack(s_ref, lnbuf, masks2, c, p, w, n2, dtype)
@@ -373,8 +435,7 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
         vf = _per_tap_matmul(kvf, obuf, masks, c, p, w, n, dtype)
         outf = jax.lax.dot_general(ablk_s[:], vf, (((1,), (0,)), ((), ())),
                                    preferred_element_type=f32).astype(dtype)
-        cp_dy.wait()
-        dyd = dych[:]
+        dyd = dyb[:]
         dwpof_ref[:, :] += jax.lax.dot_general(
             outf, dyd, (((1,), (1,)), ((), ())), preferred_element_type=f32)
         doutf = jax.lax.dot_general(wpof, dyd, (((1,), (0,)), ((), ())),
@@ -399,9 +460,48 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
         docarry[:] = dlnacc[:, pl.ds(128 + w + n, w)]
         sprev[:] = s_ref[:, pl.ds(w, n)]
         vprev[:] = v_full[:, w:w + n]
-        return 0
 
-    jax.lax.fori_loop(0, nchunks, loop1, 0)
+    def start_x2(i, xwin, sem):
+        _dma_x_window_start(x_hbm, b, xwin, sem, i, nchunks, hc, h, w,
+                            dtype, halo=2)
+
+    def wait_x2(i, xwin, sem):
+        _dma_x_window_wait(x_hbm, b, xwin, sem, i, nchunks, hc, h, w,
+                           halo=2)
+
+    if nchunks % 2 or nchunks < 2:
+        def loop1(i, _):
+            start_x2(i, xw, sem_in)
+            start_dy(i, dych, sem_dy)
+            wait_x2(i, xw, sem_in)
+            wait_dy(i, dych, sem_dy)
+            loop1_core(i, xw, dych)
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, loop1, 0)
+    else:
+        start_x2(0, xw, sem_in)
+        start_dy(0, dych, sem_dy)
+
+        def loop1_pair(j, _):
+            i0 = 2 * j
+            start_x2(i0 + 1, xwb, sem_inb)
+            start_dy(i0 + 1, dychb, sem_dyb)
+            wait_x2(i0, xw, sem_in)
+            wait_dy(i0, dych, sem_dy)
+            loop1_core(i0, xw, dych)
+
+            @pl.when(i0 + 2 < nchunks)
+            def _pre():
+                start_x2(i0 + 2, xw, sem_in)
+                start_dy(i0 + 2, dych, sem_dy)
+
+            wait_x2(i0 + 1, xwb, sem_inb)
+            wait_dy(i0 + 1, dychb, sem_dyb)
+            loop1_core(i0 + 1, xwb, dychb)
+            return 0
+
+        jax.lax.fori_loop(0, nchunks // 2, loop1_pair, 0)
     # flush: last chunk's d(out) receives no further halo adds
     _v_branch(nchunks - 1, dopend[:].astype(dtype))
     f32stage[:] = dlpend[:]
@@ -465,12 +565,12 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
     dlpend[:] = jnp.zeros(dlpend.shape, f32)
     dlcarry[:] = jnp.zeros(dlcarry.shape, f32)
 
-    def loop2(i, _):
+    h2 = 1 if w % 128 == 0 else 2
+
+    def loop2_core(i, xwin):
         r0 = pl.multiple_of(i * hc, hc)
-        _dma_x_window(x_hbm, b, xw2, sem_in, i, nchunks, hc, h, w,
-                      dtype, halo=1 if w % 128 == 0 else 2)
         ln, _, _ = _ln_flat(
-            xw2[:, pl.ds(0 if w % 128 == 0 else w, n2)].astype(f32),
+            xwin[:, pl.ds(0 if w % 128 == 0 else w, n2)].astype(f32),
             scale, bias, eps)
         rmask2 = _row_mask(r0, hc, h, w, n2)
         lnbuf[:, pl.ds(p, n2)] = jnp.where(rmask2, ln, 0.0).astype(dtype)
@@ -506,10 +606,15 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
         dlpend[:] = dlnacc[:, pl.ds(128 + w, n)]
         dlpend[:, pl.ds(0, w)] += dlcarry[:]
         dlcarry[:] = dlnacc[:, pl.ds(128 + w + n, w)]
-        xprev[:] = xw2[:, pl.ds(w if w % 128 == 0 else 2 * w, n)]
-        return 0
+        xprev[:] = xwin[:, pl.ds(w if w % 128 == 0 else 2 * w, n)]
 
-    jax.lax.fori_loop(0, nchunks, loop2, 0)
+    _pipelined_loop(
+        nchunks,
+        lambda i, buf, sem: _dma_x_window_start(
+            x_hbm, b, buf, sem, i, nchunks, hc, h, w, dtype, halo=h2),
+        lambda i, buf, sem: _dma_x_window_wait(
+            x_hbm, b, buf, sem, i, nchunks, hc, h, w, halo=h2),
+        loop2_core, (xw2, sem_in), (xw2b, sem_inb))
     _ln_bwd_out(nchunks - 1)
 
 
@@ -550,14 +655,19 @@ def _fwd_call(x, scale, bias, w_qkv, t_qkv, temp, w_po, w_kv, t_kv, w_pof,
         ],
         scratch_shapes=[
             pltpu.VMEM((c, n4), x.dtype),
+            pltpu.VMEM((c, n4), x.dtype),       # xwb: out-loop pipe slot
             # xw2: halo-1 frame, fetched via a halo-2 aligned DMA
             # window at W=64 (see _dma_x_window alignment note)
             pltpu.VMEM((c, n2 if w % 128 == 0 else n4), x.dtype),
+            pltpu.VMEM((c, n2 if w % 128 == 0 else n4), x.dtype),  # xw2b
             pltpu.VMEM((c, n4 + 2 * p), x.dtype),
             pltpu.VMEM((c, n2 + 2 * p), x.dtype),
             pltpu.VMEM((9 * c, n2), x.dtype),
             pltpu.VMEM((c, c), f32),
             pltpu.VMEM((c, n), x.dtype),
+            pltpu.VMEM((c, n), x.dtype),        # stageb: out pipe slot
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -614,9 +724,11 @@ def _bwd_call(x, dy, scale, bias, w_qkv, t_qkv, temp, w_po, w_kv, t_kv,
         ],
         scratch_shapes=[
             pltpu.VMEM((c, n4), x.dtype),
+            pltpu.VMEM((c, n4), x.dtype),       # xwb: loop-1 pipe slot
             # xw2: halo-1 frame, fetched via a halo-2 aligned DMA
             # window at W=64 (see _dma_x_window alignment note)
             pltpu.VMEM((c, n2 if w % 128 == 0 else n4), x.dtype),
+            pltpu.VMEM((c, n2 if w % 128 == 0 else n4), x.dtype),  # xw2b
             pltpu.VMEM((c, n4 + 2 * p), x.dtype),
             pltpu.VMEM((c, n2 + 2 * p), x.dtype),
             pltpu.VMEM((9 * c, n2), x.dtype),
@@ -635,8 +747,11 @@ def _bwd_call(x, dy, scale, bias, w_qkv, t_qkv, temp, w_po, w_kv, t_kv,
             pltpu.VMEM((c, 1), f32),
             pltpu.VMEM((c, 1), f32),
             pltpu.VMEM((c, n), x.dtype),
+            pltpu.VMEM((c, n), x.dtype),        # dychb: loop-1 pipe slot
             pltpu.VMEM((c, n), x.dtype),
             pltpu.VMEM((c, n), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),

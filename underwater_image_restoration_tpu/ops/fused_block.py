@@ -217,6 +217,81 @@ def _zero_guards(ref, p: int, n2: int, dtype):
     ref[:, p + n2:] = jnp.zeros((hid, ref.shape[1] - p - n2), dtype)
 
 
+def _dma_x_window_start(x_hbm, b, xch, sem, i, nchunks: int, hc: int,
+                        h: int, w: int, dtype, halo: int = 1):
+    """Start the chunk-i halo-window DMA (see ``_dma_x_window``) WITHOUT
+    waiting, zero-filling the out-of-image halo rows (disjoint from the
+    in-flight DMA's target region).  Pair with ``_dma_x_window_wait``
+    (same arguments) — the pipelined kernels start chunk i+1's fetch
+    before computing chunk i."""
+    c = xch.shape[0]
+    hw = halo * w
+    zrows = jnp.zeros((c, hw), dtype)
+    if nchunks == 1:
+        pltpu.make_async_copy(x_hbm.at[b],
+                              xch.at[:, pl.ds(hw, h * w)], sem).start()
+        xch[:, 0:hw] = zrows
+        xch[:, hw + h * w:] = zrows
+        return
+
+    @pl.when(i == 0)
+    def _first():
+        pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(0, (hc + halo) * w)],
+            xch.at[:, pl.ds(hw, (hc + halo) * w)], sem).start()
+        xch[:, 0:hw] = zrows
+
+    @pl.when(i == nchunks - 1)
+    def _last():
+        pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds((h - hc - halo) * w, (hc + halo) * w)],
+            xch.at[:, pl.ds(0, (hc + halo) * w)], sem).start()
+        xch[:, (hc + halo) * w:] = zrows
+
+    @pl.when((i > 0) & (i < nchunks - 1))
+    def _mid():
+        # honest alignment hint: at w=64 with odd halo the window start
+        # (i*hc - halo)*w is only a 64-multiple (pl.multiple_of is an
+        # UNCHECKED promise — 128 here would miscompile the W=64 levels)
+        al = 128 if (halo * w) % 128 == 0 else w
+        pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(pl.multiple_of(i * hc * w - hw, al),
+                                 (hc + 2 * halo) * w)],
+            xch.at[:], sem).start()
+
+
+def _dma_x_window_wait(x_hbm, b, xch, sem, i, nchunks: int, hc: int,
+                       h: int, w: int, halo: int = 1):
+    """Wait for the DMA started by ``_dma_x_window_start`` with the same
+    arguments — reconstructs the matching copy descriptor per branch (the
+    first/last windows move fewer bytes than the mid windows)."""
+    hw = halo * w
+    if nchunks == 1:
+        pltpu.make_async_copy(x_hbm.at[b],
+                              xch.at[:, pl.ds(hw, h * w)], sem).wait()
+        return
+
+    @pl.when(i == 0)
+    def _first():
+        pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(0, (hc + halo) * w)],
+            xch.at[:, pl.ds(hw, (hc + halo) * w)], sem).wait()
+
+    @pl.when(i == nchunks - 1)
+    def _last():
+        pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds((h - hc - halo) * w, (hc + halo) * w)],
+            xch.at[:, pl.ds(0, (hc + halo) * w)], sem).wait()
+
+    @pl.when((i > 0) & (i < nchunks - 1))
+    def _mid():
+        al = 128 if (halo * w) % 128 == 0 else w
+        pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(pl.multiple_of(i * hc * w - hw, al),
+                                 (hc + 2 * halo) * w)],
+            xch.at[:], sem).wait()
+
+
 def _dma_x_window(x_hbm, b, xch, sem, i, nchunks: int, hc: int, h: int,
                   w: int, dtype, halo: int = 1):
     """DMA the chunk-i halo window (rows i*hc-halo .. i*hc+hc+halo) of the
@@ -225,48 +300,49 @@ def _dma_x_window(x_hbm, b, xch, sem, i, nchunks: int, hc: int, h: int,
     copies blow the 16 MB scoped limit at C=32 (measured: backward
     17.94 M), so backward passes stream x per chunk instead.  halo=2
     serves cascaded 3x3 stages (fused MDTA's v -> out -> vf chain)."""
-    c = xch.shape[0]
-    hw = halo * w
-    zrows = jnp.zeros((c, hw), dtype)
-    if nchunks == 1:
-        cp = pltpu.make_async_copy(x_hbm.at[b],
-                                   xch.at[:, pl.ds(hw, h * w)], sem)
-        cp.start()
-        xch[:, 0:hw] = zrows
-        xch[:, hw + h * w:] = zrows
-        cp.wait()
+    _dma_x_window_start(x_hbm, b, xch, sem, i, nchunks, hc, h, w, dtype,
+                        halo=halo)
+    _dma_x_window_wait(x_hbm, b, xch, sem, i, nchunks, hc, h, w, halo=halo)
+
+
+def _pipelined_loop(nchunks: int, start, wait, compute, slot0, slot1):
+    """Lag-1 double-buffered streaming loop, slots statically unrolled
+    (chunks 2j / 2j+1 -> slot0 / slot1): chunk i+1's fetch is started
+    before chunk i's compute, hiding the DMA round-trip that the serial
+    start-wait-compute pattern pays per chunk.  ``start(i, buf, sem)``
+    begins chunk i's fetch, ``wait(i, buf, sem)`` blocks until landed,
+    ``compute(i, buf)`` consumes it.  Serial fallback for odd nchunks
+    (every supported model shape has even nchunks: H and hc are powers of
+    two)."""
+    buf0, sem0 = slot0
+    buf1, sem1 = slot1
+    if nchunks % 2 or nchunks < 2:
+        def chunk(i, _):
+            start(i, buf0, sem0)
+            wait(i, buf0, sem0)
+            compute(i, buf0)
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, chunk, 0)
         return
 
-    @pl.when(i == 0)
-    def _first():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b, :, pl.ds(0, (hc + halo) * w)],
-            xch.at[:, pl.ds(hw, (hc + halo) * w)], sem)
-        cp.start()
-        xch[:, 0:hw] = zrows
-        cp.wait()
+    start(0, buf0, sem0)
 
-    @pl.when(i == nchunks - 1)
-    def _last():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b, :, pl.ds((h - hc - halo) * w, (hc + halo) * w)],
-            xch.at[:, pl.ds(0, (hc + halo) * w)], sem)
-        cp.start()
-        xch[:, (hc + halo) * w:] = zrows
-        cp.wait()
+    def pair(j, _):
+        i0 = 2 * j
+        start(i0 + 1, buf1, sem1)
+        wait(i0, buf0, sem0)
+        compute(i0, buf0)
 
-    @pl.when((i > 0) & (i < nchunks - 1))
-    def _mid():
-        # honest alignment hint: at w=64 with odd halo the window start
-        # (i*hc - halo)*w is only a 64-multiple (pl.multiple_of is an
-        # UNCHECKED promise — 128 here would miscompile the W=64 levels)
-        al = 128 if (halo * w) % 128 == 0 else w
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b, :, pl.ds(pl.multiple_of(i * hc * w - hw, al),
-                                 (hc + 2 * halo) * w)],
-            xch.at[:], sem)
-        cp.start()
-        cp.wait()
+        @pl.when(i0 + 2 < nchunks)
+        def _pre():
+            start(i0 + 2, buf0, sem0)
+
+        wait(i0 + 1, buf1, sem1)
+        compute(i0 + 1, buf1)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks // 2, pair, 0)
 
 
 def _fwd_kernel(x_hbm, scale_ref, bias_ref, wina_ref, winb_ref, tapa_ref,

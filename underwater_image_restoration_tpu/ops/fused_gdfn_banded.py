@@ -56,6 +56,8 @@ from .fused_block import (
     _any_spec,
     _col_masks,
     _dma_x_window,
+    _dma_x_window_start,
+    _dma_x_window_wait,
     _gelu_exact,
     _gelu_grad,
     _ln_flat,
@@ -82,6 +84,30 @@ def pick_hc(h: int, w: int, c: int, hid: int) -> int:
     return 2
 
 
+def pick_hc_fwd(h: int, w: int, c: int, hid: int) -> int:
+    """Forward-only row chunk: the forward's live f32 set is ~(3·hid + C)
+    (t1/t2, the gelu product, u) instead of the backward's ~6·hid+9C, and
+    there is no dLN frame — so the chunk can be ~2x the shared pick_hc
+    (C=32: 8 vs 4 → half the serialized DMA round-trips).  Budget counts
+    the double-buffered input windows and both output stages of the
+    pipelined schedule."""
+    bh = 1 if (w % 128 == 0) else 2
+    for hc in (64, 32, 16, 8, 4, 2):
+        if h % hc:
+            continue
+        n, n2 = hc * w, (hc + 2) * w
+        live = (
+            2 * c * (hc + 2 * bh) * w * 2       # xw double-buffer
+            + c * (n2 + 2 * (w + 128)) * 2      # lnbuf + guards
+            + 9 * c * n * 2 * 2                 # stack (+1 dtype transient)
+            + (3 * hid + c) * n * 4             # t1/t2/g1*t2 product, u
+            + 2 * c * n * 2                     # out stages
+        )
+        if live <= 6 * 1024 * 1024:
+            return hc
+    return 2
+
+
 def supports(h: int, w: int, c: int | None = None, hid: int | None = None,
              itemsize: int = 2) -> bool:
     """Shape gate.  No whole-image term: guards + live chunk set at the
@@ -99,7 +125,9 @@ def supports(h: int, w: int, c: int | None = None, hid: int | None = None,
         + c * (n2 + 256) * 4
     live = (6 * hid + 9 * c) * n * 4 + 2 * c * n2 * 4
     carry = 4 * c * n * 4
-    return guards + live + carry <= 12 * 1024 * 1024
+    # input-pipelining double buffers (xw1 + dy0/dy1, see _bwd_kernel)
+    pipe = c * (hc + 4) * w * itemsize + 2 * c * n * itemsize
+    return guards + live + carry + pipe <= 12 * 1024 * 1024
 
 
 def _build_k(w_half, taps_half):
@@ -136,8 +164,15 @@ def _build_shift_stack(s_ref, lnbuf, masks, c: int, p: int, w: int, n: int,
 
 
 def _fwd_kernel(x_hbm, scale_ref, bias_ref, ka_ref, kb_ref, wout_ref,
-                out_hbm, xw, lnbuf, s_ref, stage, sem_in, sem_out, *,
+                out_hbm, xw0, xw1, lnbuf, s_ref, stage0, stage1,
+                sem_in0, sem_in1, sem_out0, sem_out1, *,
                 hc: int, h: int, w: int, eps: float, dtype):
+    """Lag-1 pipelined forward: chunk i+1's halo window streams in while
+    chunk i computes, and the output DMA is only waited on before its
+    stage buffer is reused two chunks later.  Slots are unrolled
+    statically (chunks 2j / 2j+1 -> buffers 0 / 1) so no dynamic scratch
+    indexing is needed; nchunks is even for every supported shape
+    (H, hc both powers of two), with a serial fallback otherwise."""
     c = scale_ref.shape[0]
     n, n2 = hc * w, (hc + 2) * w
     p = w + 128
@@ -159,11 +194,11 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, ka_ref, kb_ref, wout_ref,
     wout = wout_ref[:].astype(dtype)
     masks = _col_masks(w, n, dtype)
 
-    def chunk(i, _):
+    def compute(i, xw, stage, sem_out):
+        """LN -> stack -> matmuls on an already-landed window; starts the
+        output DMA without waiting."""
         r0 = pl.multiple_of(i * hc, hc)
         base = pl.multiple_of(r0 * w, 128)
-        _dma_x_window(x_hbm, b, xw, sem_in, i, nchunks, hc, h, w, dtype,
-                      halo=bh)
         ln, _, _ = _ln_flat(xw[:, pl.ds(q0, n2)].astype(f32), scale, bias,
                             eps)
         rmask = _row_mask(r0, hc, h, w, n2)
@@ -178,21 +213,76 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, ka_ref, kb_ref, wout_ref,
         u = jax.lax.dot_general(wout, o, (((0,), (0,)), ((), ())),
                                 preferred_element_type=f32)
         stage[:] = xw[:, pl.ds(q0 + w, n)] + u.astype(dtype)
-        cp_out = pltpu.make_async_copy(
-            stage, out_hbm.at[b, :, pl.ds(base, n)], sem_out)
-        cp_out.start()
-        cp_out.wait()
+        pltpu.make_async_copy(
+            stage, out_hbm.at[b, :, pl.ds(base, n)], sem_out).start()
+
+    def wait_out(i, stage, sem_out):
+        base = pl.multiple_of(i * hc * w, 128)
+        pltpu.make_async_copy(
+            stage, out_hbm.at[b, :, pl.ds(base, n)], sem_out).wait()
+
+    def start_in(i, xw, sem):
+        _dma_x_window_start(x_hbm, b, xw, sem, i, nchunks, hc, h, w,
+                            dtype, halo=bh)
+
+    def wait_in(i, xw, sem):
+        _dma_x_window_wait(x_hbm, b, xw, sem, i, nchunks, hc, h, w,
+                           halo=bh)
+
+    if nchunks % 2 or nchunks < 2:
+        def chunk(i, _):
+            start_in(i, xw0, sem_in0)
+            wait_in(i, xw0, sem_in0)
+            compute(i, xw0, stage0, sem_out0)
+            wait_out(i, stage0, sem_out0)
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, chunk, 0)
+        return
+
+    start_in(0, xw0, sem_in0)
+
+    def pair(j, _):
+        i0 = 2 * j
+        start_in(i0 + 1, xw1, sem_in1)
+        wait_in(i0, xw0, sem_in0)
+
+        @pl.when(j > 0)
+        def _drain0():
+            wait_out(i0 - 2, stage0, sem_out0)
+
+        compute(i0, xw0, stage0, sem_out0)
+
+        @pl.when(i0 + 2 < nchunks)
+        def _pre0():
+            start_in(i0 + 2, xw0, sem_in0)
+
+        wait_in(i0 + 1, xw1, sem_in1)
+
+        @pl.when(j > 0)
+        def _drain1():
+            wait_out(i0 - 1, stage1, sem_out1)
+
+        compute(i0 + 1, xw1, stage1, sem_out1)
         return 0
 
-    jax.lax.fori_loop(0, nchunks, chunk, 0)
+    jax.lax.fori_loop(0, nchunks // 2, pair, 0)
+    wait_out(nchunks - 2, stage0, sem_out0)
+    wait_out(nchunks - 1, stage1, sem_out1)
 
 
 def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, ka_ref, kb_ref,
                 wout_ref,
                 dx_hbm, dscale_ref, dbias_ref, dka_ref, dkb_ref, dwout_ref,
-                xw, lnbuf, s_ref, dlnacc, dpend, dcarry, xprev, dyprev,
-                stage, sem_in, sem_dy, sem_out, *,
+                xw0, xw1, dy0, dy1, lnbuf, s_ref, dlnacc, dpend, dcarry,
+                xprev, dyprev, stage, sem_in0, sem_in1, sem_dy0, sem_dy1,
+                sem_out, *,
                 hc: int, h: int, w: int, eps: float, dtype):
+    """Input side lag-1 pipelined: chunk i+1's x halo window AND dy block
+    stream in while chunk i computes (the dx output wait stays inline —
+    it lands right after the heavy per-chunk compute).  The lag-1 dLN
+    finalization carries (dpend/dcarry/xprev/dyprev) are untouched:
+    compute order is identical to the serial loop."""
     c = scale_ref.shape[0]
     n, n2 = hc * w, (hc + 2) * w
     p = w + 128
@@ -233,14 +323,18 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, ka_ref, kb_ref,
     bh = 1 if (w % 128 == 0) else 2  # aligned-DMA halo (see _fwd_kernel)
     q0 = (bh - 1) * w
 
-    def chunk(i, _):
+    def start_dy(i, dyb, sem):
+        base = pl.multiple_of(i * hc * w, 128)
+        pltpu.make_async_copy(
+            dy_hbm.at[b, :, pl.ds(base, n)], dyb, sem).start()
+
+    def wait_dy(i, dyb, sem):
+        base = pl.multiple_of(i * hc * w, 128)
+        pltpu.make_async_copy(
+            dy_hbm.at[b, :, pl.ds(base, n)], dyb, sem).wait()
+
+    def chunk_core(i, xw, dyb):
         r0 = pl.multiple_of(i * hc, hc)
-        base = pl.multiple_of(r0 * w, 128)
-        cp_dy = pltpu.make_async_copy(
-            dy_hbm.at[b, :, pl.ds(base, n)], stage, sem_dy)
-        cp_dy.start()
-        _dma_x_window(x_hbm, b, xw, sem_in, i, nchunks, hc, h, w, dtype,
-                      halo=bh)
         ln, _, _ = _ln_flat(xw[:, pl.ds(q0, n2)].astype(f32), scale, bias,
                             eps)
         rmask = _row_mask(r0, hc, h, w, n2)
@@ -252,8 +346,7 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, ka_ref, kb_ref,
         t2 = jax.lax.dot_general(kb, s, (((0,), (0,)), ((), ())),
                                  preferred_element_type=f32)
         g1 = _gelu_exact(t1)
-        cp_dy.wait()
-        dyd = stage[:]
+        dyd = dyb[:]
         du = dyd
         do = jax.lax.dot_general(wout, du, (((1,), (0,)), ((), ())),
                                  preferred_element_type=f32)       # (hid, n)
@@ -304,9 +397,48 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, ka_ref, kb_ref,
         dcarry[:, pl.ds(0, w)] = dlnc[:, w + n:w + n + w]
         xprev[:] = xw[:, pl.ds(q0 + w, n)]
         dyprev[:] = dyd
-        return 0
 
-    jax.lax.fori_loop(0, nchunks, chunk, 0)
+    def start_in(i, xw, sem):
+        _dma_x_window_start(x_hbm, b, xw, sem, i, nchunks, hc, h, w,
+                            dtype, halo=bh)
+
+    def wait_in(i, xw, sem):
+        _dma_x_window_wait(x_hbm, b, xw, sem, i, nchunks, hc, h, w,
+                           halo=bh)
+
+    if nchunks % 2 or nchunks < 2:
+        def chunk(i, _):
+            start_in(i, xw0, sem_in0)
+            start_dy(i, dy0, sem_dy0)
+            wait_in(i, xw0, sem_in0)
+            wait_dy(i, dy0, sem_dy0)
+            chunk_core(i, xw0, dy0)
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, chunk, 0)
+    else:
+        start_in(0, xw0, sem_in0)
+        start_dy(0, dy0, sem_dy0)
+
+        def pair(j, _):
+            i0 = 2 * j
+            start_in(i0 + 1, xw1, sem_in1)
+            start_dy(i0 + 1, dy1, sem_dy1)
+            wait_in(i0, xw0, sem_in0)
+            wait_dy(i0, dy0, sem_dy0)
+            chunk_core(i0, xw0, dy0)
+
+            @pl.when(i0 + 2 < nchunks)
+            def _pre():
+                start_in(i0 + 2, xw0, sem_in0)
+                start_dy(i0 + 2, dy0, sem_dy0)
+
+            wait_in(i0 + 1, xw1, sem_in1)
+            wait_dy(i0 + 1, dy1, sem_dy1)
+            chunk_core(i0 + 1, xw1, dy1)
+            return 0
+
+        jax.lax.fori_loop(0, nchunks // 2, pair, 0)
 
     # last block: no further halo contributions
     dxb = _ln_bwd_out(xprev[:].astype(jnp.float32), dpend[:], dyprev[:])
@@ -331,7 +463,7 @@ def _fwd_call(x, scale, bias, w_in, w_dw, w_out, eps, interpret):
     bsz, c, h, w = x.shape
     g2 = w_in.shape[1]
     hid = g2 // 2
-    hc = pick_hc(h, w, c, hid)
+    hc = pick_hc_fwd(h, w, c, hid)
     n, n2 = hc * w, (hc + 2) * w
     bh = 1 if (w % 128 == 0) else 2  # aligned-DMA halo (see _fwd_kernel)
     p = w + 128
@@ -350,9 +482,13 @@ def _fwd_call(x, scale, bias, w_in, w_dw, w_out, eps, interpret):
         out_shape=jax.ShapeDtypeStruct((bsz, c, h * w), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((c, (hc + 2 * bh) * w), x.dtype),
+            pltpu.VMEM((c, (hc + 2 * bh) * w), x.dtype),
             pltpu.VMEM((c, n2 + 2 * p), x.dtype),
             pltpu.VMEM((9 * c, n), x.dtype),
             pltpu.VMEM((c, n), x.dtype),
+            pltpu.VMEM((c, n), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -396,15 +532,20 @@ def _bwd_call(x, dy, scale, bias, w_in, w_dw, w_out, eps, interpret):
             jax.ShapeDtypeStruct((hid, c), f32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c, (hc + 2 * bh) * w), x.dtype),
-            pltpu.VMEM((c, n2 + 2 * p), x.dtype),
-            pltpu.VMEM((9 * c, n), x.dtype),
-            pltpu.VMEM((c, n2 + 256), f32),
-            pltpu.VMEM((c, n), f32),
-            pltpu.VMEM((c, n), f32),
-            pltpu.VMEM((c, n), x.dtype),
-            pltpu.VMEM((c, n), x.dtype),
-            pltpu.VMEM((c, n), x.dtype),
+            pltpu.VMEM((c, (hc + 2 * bh) * w), x.dtype),   # xw0
+            pltpu.VMEM((c, (hc + 2 * bh) * w), x.dtype),   # xw1 (pipe)
+            pltpu.VMEM((c, n), x.dtype),                   # dy0
+            pltpu.VMEM((c, n), x.dtype),                   # dy1 (pipe)
+            pltpu.VMEM((c, n2 + 2 * p), x.dtype),          # lnbuf
+            pltpu.VMEM((9 * c, n), x.dtype),               # s_ref
+            pltpu.VMEM((c, n2 + 256), f32),                # dlnacc
+            pltpu.VMEM((c, n), f32),                       # dpend
+            pltpu.VMEM((c, n), f32),                       # dcarry
+            pltpu.VMEM((c, n), x.dtype),                   # xprev
+            pltpu.VMEM((c, n), x.dtype),                   # dyprev
+            pltpu.VMEM((c, n), x.dtype),                   # stage (dx out)
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
