@@ -114,6 +114,32 @@ def test_banded_four_chunks_matches(monkeypatch):
     _assert_tree_close(g_b, g_u)
 
 
+def test_banded_w64_matches_unfused(monkeypatch):
+    """W=64 (the 64² C=64 level's width, _w_ok extension): the stats loop
+    must fetch the aligned halo-2 enclosure (odd x 64 DMA slices violate
+    Mosaic's 128-multiple rule) and slice the halo-1 LN frame at offset w
+    — the advisor-r4 crash path.  Forward and grads vs the unfused path
+    at a two-chunk W=64 shape."""
+    monkeypatch.setenv("UIRT_CHW", "1")
+    monkeypatch.setenv("UIRT_FUSED_GDFN", "0")
+    monkeypatch.setattr(fused_attn_banded, "pick_hc", lambda h, w, c: 4)
+    m = SpectralBlock(channels=C, num_heads=NH, expansion_factor=2.66,
+                      channels_first=True)
+    x = jnp.asarray(
+        np.random.default_rng(19).standard_normal((B, C, 8, 64)),
+        jnp.float32)
+    monkeypatch.setenv("UIRT_FUSED_ATTN", "1")
+    monkeypatch.setenv("UIRT_ATTN_BANDED", "1")
+    params = m.init(jax.random.PRNGKey(0), x)
+    y_b, g_b = _run(m, params, x)
+    monkeypatch.setenv("UIRT_FUSED_ATTN", "0")
+    monkeypatch.setenv("UIRT_ATTN_BANDED", "0")
+    y_u, g_u = _run(m, params, x)
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_u),
+                               rtol=3e-5, atol=3e-5)
+    _assert_tree_close(g_b, g_u)
+
+
 def test_banded_matches_composed(block_setup, monkeypatch):
     """Banded vs the whole-image composed kernel at a shape both support:
     pins the two fused variants against each other."""

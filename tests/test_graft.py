@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import jax
+import pytest
 
 
 def _driver_env():
@@ -37,11 +38,13 @@ def test_entry_lowers():
     jax.jit(fn).lower(*args)  # compile-path check without running 256^2
 
 
+@pytest.mark.slow  # multi-minute multichip compile; driver covers it
 def test_dryrun_multichip_8():
     g = _load("/root/repo/__graft_entry__.py", "graft_entry_test2")
     g.dryrun_multichip(8)  # DP train step + CP attention/FFT + TP params
 
 
+@pytest.mark.slow  # multi-minute multichip compile; driver covers it
 def test_dryrun_multichip_driver_invocation():
     """Reproduce the driver: fresh process, no CPU/device-count env, backend
     uninitialized.  dryrun_multichip must self-provision 8 virtual devices
@@ -55,6 +58,7 @@ def test_dryrun_multichip_driver_invocation():
     assert "DRYRUN_OK" in res.stdout
 
 
+@pytest.mark.slow  # multi-minute multichip compile; driver covers it
 def test_dryrun_multichip_initialized_small_backend():
     """Backend already up with 1 device: must re-exec a subprocess with a
     forced 8-device virtual CPU platform rather than assert."""

@@ -164,6 +164,7 @@ _CP_MODELS = {
 }
 
 
+@pytest.mark.slow  # minutes/model on the 1-core CPU; `-m slow` to run
 @pytest.mark.parametrize("name", sorted(_CP_MODELS))
 def test_cp_model_train_step_matches_single_device(name):
     """Full jitted train step (fwd+loss+grad+clip+adam) of a model with the

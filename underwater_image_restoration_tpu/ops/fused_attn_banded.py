@@ -82,9 +82,13 @@ def pick_hc(h: int, w: int, c: int) -> int:
 def _static_bytes(hc: int, w: int, c: int, itemsize: int = 2) -> int:
     n, n2, n4 = hc * w, (hc + 2) * w, (hc + 4) * w
     p = w + 128
+    # xw2/xw2b hold the halo-1 LN frame but are ALLOCATED at the aligned
+    # halo-2 enclosure when W is not a 128-multiple (matches _fwd_call /
+    # _bwd_call scratch_shapes — advisor r4 low).
+    nx2 = n2 if w % 128 == 0 else n4
     return (
         c * n4 * itemsize                  # xw (loop-1 halo-2 window)
-        + c * n2 * itemsize                # xw2
+        + c * nx2 * itemsize               # xw2
         + c * (n4 + 2 * p) * itemsize      # lnbuf
         + c * (n2 + 2 * p) * itemsize      # obuf
         + 9 * c * n2 * itemsize            # s_ref
@@ -96,7 +100,7 @@ def _static_bytes(hc: int, w: int, c: int, itemsize: int = 2) -> int:
         + 2 * c * n * itemsize             # dych + stage
         + c * n * itemsize                 # xprev
         # input-pipelining double buffers (xwb / xw2b / dychb, fwd + bwd)
-        + c * n4 * itemsize + c * n2 * itemsize + c * n * itemsize
+        + c * n4 * itemsize + c * nx2 * itemsize + c * n * itemsize
         # headroom for Mosaic's live f32 chunk temps: hardware measured
         # the hc=8 backward at C=32/512² 1.39 MB over the 16 MB scoped
         # limit with a 4x term — 10x keeps the model honest
@@ -217,12 +221,18 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
         sq_ref[:, :] += jnp.sum(qf * qf, axis=1, keepdims=True)
         sk_ref[:, :] += jnp.sum(kf * kf, axis=1, keepdims=True)
 
+    # xw2 is a halo-1 LN frame, but at W=64 the HBM DMA window must be the
+    # aligned halo-2 enclosure (odd x 64 slices violate Mosaic's
+    # 128-multiple DMA rule; stats_compute slices the frame at offset w) —
+    # mirror the bwd loop2's h2 (advisor r4 high: halo=1 here crashed every
+    # W=64 banded-attn dispatch at trace time).
+    h1 = 1 if w % 128 == 0 else 2
     _pipelined_loop(
         nchunks,
         lambda i, buf, sem: _dma_x_window_start(
-            x_hbm, b, buf, sem, i, nchunks, hc, h, w, dtype, halo=1),
+            x_hbm, b, buf, sem, i, nchunks, hc, h, w, dtype, halo=h1),
         lambda i, buf, sem: _dma_x_window_wait(
-            x_hbm, b, buf, sem, i, nchunks, hc, h, w, halo=1),
+            x_hbm, b, buf, sem, i, nchunks, hc, h, w, halo=h1),
         stats_compute, (xw2, sem_in), (xw2b, sem_inb))
 
     eyec = _eye(c)

@@ -117,7 +117,11 @@ class TrainStepBench:
             jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3),
                                              jnp.float32))
         tx = get_optimizer("adam", lr)
-        self.state = TrainState(params=params, opt_state=tx.init(params),
+        # jit the optimizer init: eager tx.init dispatches one tiny op per
+        # param leaf, each a ~0.4 s compile round-trip through the remote
+        # tunnel (~25 s of ctor wall for the Spectral zoo entries)
+        self.state = TrainState(params=params,
+                                opt_state=jax.jit(tx.init)(params),
                                 step=jnp.zeros((), jnp.int32))
         # placeholder VGG is fine for TIMING perceptual-family losses: the
         # trunk compute is identical whatever the weights hold

@@ -388,7 +388,9 @@ class ModelTrainer:
             rmsprop_alpha=cfg.rmsprop_alpha,
             adam_beta1=cfg.adam_beta1, adam_beta2=cfg.adam_beta2,
         )
-        state = TrainState(params=params, opt_state=tx.init(params),
+        # jitted: eager tx.init dispatches one tiny op per param leaf, each
+        # a compile round-trip through the remote tunnel (~25 s of startup)
+        state = TrainState(params=params, opt_state=jax.jit(tx.init)(params),
                            step=jnp.zeros((), jnp.int32))
         repl = NamedSharding(mesh, P())
         state_sh = repl
