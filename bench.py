@@ -66,7 +66,12 @@ T0 = time.time()
 #   3. per-cell subprocess timeouts capped by the remaining budget;
 #   4. a SIGTERM handler that prints the best-known JSON as the very last
 #      line and exits — so even a driver kill parses.
-DEADLINE = T0 + float(os.environ.get("UIRT_BENCH_DEADLINE_S", "900"))
+# 1150 s (was 900): the driver kill has only been observed past +1375 s
+# (BENCH_r03), and since round 4 the SIGTERM handler makes even a kill
+# parse (BEST_JSON is the last line) — so a longer internal deadline is
+# strictly more chances to land a number through a wedged-compile window
+# (observed r5: a single remote compile can stall 10+ minutes).
+DEADLINE = T0 + float(os.environ.get("UIRT_BENCH_DEADLINE_S", "1150"))
 BEST_JSON: str | None = None
 
 

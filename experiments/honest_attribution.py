@@ -25,7 +25,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BATCH, SIZE, K = 16, 256, 2
+# UIRT_ATTR_{BATCH,SIZE,K} parameterize the workload: the 256² shares do
+# not transfer to the 1024² reference train res (level mix differs, UpS
+# FFTs grow as H²logH — VERDICT r4 weak #3), so the same cells run there
+# via UIRT_ATTR_SIZE=1024 UIRT_ATTR_BATCH=1.
+BATCH = int(os.environ.get("UIRT_ATTR_BATCH", "16"))
+SIZE = int(os.environ.get("UIRT_ATTR_SIZE", "256"))
+K = int(os.environ.get("UIRT_ATTR_K", "2"))
 # Round-3 tables were taken with {"UIRT_DWCONV": "hybrid"}; round 4 runs
 # the shipping defaults (lax dwconv + chw layout + fused LN+MDTA and
 # LN+GDFN Pallas kernels at the qualifying levels).  NOTE: with the fused

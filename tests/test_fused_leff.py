@@ -286,3 +286,54 @@ def test_fused_leff_single_chunk_image():
     y_f = fused_ln_leff(x8, *rest)
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def _stage_apply(stage_fused: bool, monkeypatch, drop_path=(0.0, 0.1)):
+    """Run a depth-2 FFN-only BasicASTLayer (an AST encoder stage) both
+    ways at a fused-supported shape (W=64)."""
+    from underwater_image_restoration_tpu.models.ast import BasicASTLayer
+
+    monkeypatch.setenv("UIRT_FUSED_LEFF", "0")
+    monkeypatch.setenv("UIRT_FUSED_LEFF_STAGE",
+                       "1" if stage_fused else "0")
+    m = BasicASTLayer(dim=8, input_resolution=64, depth=2, num_heads=1,
+                      win_size=8, drop_path=tuple(drop_path),
+                      token_mlp="leff", att=False)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 64 * 64, 8)), jnp.float32)
+    params = m.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, deterministic=False)
+
+    def loss(p, z):
+        y = m.apply(p, z, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.sum(jnp.tanh(y)), y
+
+    (l, y), (gp, gx) = jax.value_and_grad(
+        lambda p, z: loss(p, z), argnums=(0, 1), has_aux=True)(params, x)
+    return params, y, gp, gx
+
+
+def test_ast_stage_hoisted_dispatch_equality(monkeypatch):
+    """UIRT_FUSED_LEFF_STAGE=1 routes a whole FFN-only encoder stage
+    through channels-first fused blocks (one relayout pair per stage —
+    VERDICT r4 next #6): same param tree, outputs, grads, and the same
+    per-sample DropPath rng stream as the unfused token-space stage."""
+    p0, y0, gp0, gx0 = _stage_apply(False, monkeypatch)
+    p1, y1, gp1, gx1 = _stage_apply(True, monkeypatch)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(
+        p1)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0),
+                               rtol=1e-4, atol=2e-5)
+    flat0 = jax.tree_util.tree_leaves_with_path(gp0)
+    flat1 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(gp1)}
+    for k, v in flat0:
+        ks = jax.tree_util.keystr(k)
+        ref = np.asarray(v)
+        tol = 2e-5 * max(1.0, float(np.max(np.abs(ref))))
+        np.testing.assert_allclose(np.asarray(flat1[ks]), ref, rtol=1e-4,
+                                   atol=tol, err_msg=ks)

@@ -47,6 +47,7 @@ from .blocks import (
     _LeFFParams,
     _LNParams,
     fused_leff_enabled,
+    fused_leff_stage_enabled,
     make_token_mlp,
 )
 from ..ops import Dense, fused_leff
@@ -202,6 +203,29 @@ class ASTTransformerBlock(nn.Module):
         return x + dp(y, deterministic=deterministic)
 
 
+class _FusedLeFFBlock(nn.Module):
+    """FFN-only AST block (``att=False``, reference AST.py:729-777) on the
+    channels-first layout: one fused LN+LeFF Pallas call, consuming and
+    producing ``(B, C, H, W)`` so a stage of these pays NO per-block
+    relayout.  Param tree identical to ``ASTTransformerBlock``'s FFN half
+    (norm2/mlp/drop_path) — checkpoints are path-oblivious."""
+
+    dim: int
+    hid: int
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, xc, *, deterministic: bool = True):
+        ln_scale, ln_bias = _LNParams(self.dim, name="norm2")()
+        w1, b1, taps, bdw, w2, b2 = _LeFFParams(self.dim, self.hid,
+                                                name="mlp")()
+        s = DropPath(self.drop_path, name="drop_path")(
+            jnp.ones((xc.shape[0], 1, 1), jnp.float32),
+            deterministic=deterministic).reshape(xc.shape[0])
+        return fused_leff.fused_ln_leff(xc, ln_scale, ln_bias, w1, b1,
+                                        taps, bdw, w2, b2, s)
+
+
 class BasicASTLayer(nn.Module):
     """Stack of ``depth`` blocks with alternating shift
     (reference AST.py:629-677)."""
@@ -226,6 +250,32 @@ class BasicASTLayer(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         def apply_block(block, y):
             return block(y, deterministic=deterministic)
+
+        b, l, c = x.shape
+        h = w = int(math.sqrt(l))
+        hid = int(self.dim * 4.0)
+        if (not self.att and self.token_mlp == "leff"
+                and fused_leff_stage_enabled()
+                and cp_ops.context_size(self.mesh) <= 1
+                and fused_leff.supports(h, w, c, hid,
+                                        jnp.dtype(self.dtype).itemsize)):
+            # Stage-hoisted fused path (VERDICT r4 next #6): the whole
+            # FFN-only stage stays channels-first — ONE tokens<->NCHW
+            # transpose pair per stage instead of per block (the per-block
+            # pair was the diagnosed cost of the round-4 fused-LeFF
+            # negative).  No remat: each block is a single Pallas kernel
+            # whose custom VJP recomputes in VMEM (the Spectral
+            # remat-skip finding — jax.checkpoint would replay the kernel
+            # forward to rebuild residuals it re-derives anyway).
+            xc = jnp.transpose(x.reshape(b, h, w, c), (0, 3, 1, 2))
+            for i in range(self.depth):
+                dp = (self.drop_path[i] if i < len(self.drop_path)
+                      else self.drop_path[-1])
+                xc = apply_block(
+                    _FusedLeFFBlock(dim=self.dim, hid=hid,
+                                    drop_path=float(dp), name=f"block_{i}"),
+                    xc)
+            return jnp.transpose(xc, (0, 2, 3, 1)).reshape(b, l, c)
 
         apply_fn = make_remat(self.remat, self.remat_policy)(apply_block)
         for i in range(self.depth):

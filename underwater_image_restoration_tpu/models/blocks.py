@@ -84,6 +84,25 @@ def fused_leff_enabled() -> bool:
     return mode == "1"
 
 
+def fused_leff_stage_enabled() -> bool:
+    """Stage-hoisted fused LN+LeFF selector: UIRT_FUSED_LEFF_STAGE.
+
+    The round-4 per-block negative (27.0 vs 29.2 img/s at AST@256)
+    diagnosed the tokens->NCHW transpose pair PER BLOCK as the killer.
+    This variant keeps a whole FFN-only ``BasicASTLayer`` stage (the AST
+    encoders, reference AST.py:729-777) in the channels-first layout:
+    one transpose pair per STAGE, every block inside it a single fused
+    Pallas call with no intervening relayout — VERDICT r4 next #6.
+    "auto" (default) is OFF pending the hardware A/B; "1" forces it."""
+    import os
+
+    mode = os.environ.get("UIRT_FUSED_LEFF_STAGE", "auto")
+    if mode not in _FUSED_MODES:
+        raise ValueError(
+            f"UIRT_FUSED_LEFF_STAGE={mode!r} — expected one of {_FUSED_MODES}")
+    return mode == "1"
+
+
 class _LNParams(nn.Module):
     """Param-only stand-in for ``ops.LayerNorm`` (same names/shapes), used
     when the LN compute runs inside a fused kernel instead of the module."""

@@ -104,6 +104,10 @@ def _stack(s_ref, buf, masks, c: int, p: int, w: int, nq: int, dtype):
     masks must be _col_masks(w, nq, dtype) — the compute-dtype 0/1
     multiply is exact and skips the f32 cast round-trip per element."""
     del dtype
+    from .fused_block import _kabl
+
+    if _kabl("nostack"):  # timing-only: matmuls consume stale scratch
+        return
     for k, (dh, dw) in enumerate(_TAPS):
         sl = buf[:, pl.ds(p + dh * w + dw - 1, nq)]
         if masks[dw] is not None:

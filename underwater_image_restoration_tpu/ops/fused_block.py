@@ -84,13 +84,29 @@ def _erf_f32(x):
     return jnp.clip(x * p / q, -1.0, 1.0)
 
 
+def _kabl(name: str) -> bool:
+    """In-kernel ablation switch for TIMING ONLY (wrong numerics!).
+
+    ``UIRT_KABL`` is a comma list of {nogelu, nomask, nostack, noln}; each
+    stubs one in-kernel compute stage across every fused kernel so the
+    chip prices the stage by difference (experiments/fused_microbench.py
+    --kabl).  Read at trace time — never set outside microbenches."""
+    import os
+
+    return name in os.environ.get("UIRT_KABL", "").split(",")
+
+
 def _gelu_exact(x):
     """erf GELU in f32 (torch nn.GELU default; see ops.layers.gelu)."""
+    if _kabl("nogelu"):  # timing-only: identity
+        return x
     return 0.5 * x * (1.0 + _erf_f32(x * (2.0 ** -0.5)))
 
 
 def _gelu_grad(x):
     """d/dx [x * Phi(x)] = Phi(x) + x * phi(x), f32."""
+    if _kabl("nogelu"):  # timing-only: identity
+        return jnp.ones_like(x)
     phi = jnp.exp(-0.5 * x * x) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
     cdf = 0.5 * (1.0 + _erf_f32(x * (2.0 ** -0.5)))
     return cdf + x * phi
@@ -145,6 +161,8 @@ def supports(h: int, w: int, c: int | None = None, hid: int | None = None,
 def _ln_flat(xf, scale, bias, eps):
     """LayerNorm over axis 0 (channels) of an f32 (C, N) chunk; affine in
     f32 like ops.LayerNorm.  Returns (ln, xhat, rstd)."""
+    if _kabl("noln"):  # timing-only: passthrough with affine shapes intact
+        return xf, xf, jnp.ones_like(xf[:1])
     mean = jnp.mean(xf, axis=0, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=0, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
@@ -158,6 +176,8 @@ def _col_masks(w: int, n: int, dtype=jnp.float32):
     Multiplying by a 0/1 mask is exact in any float dtype, so stack builders
     pass the compute dtype to skip the f32 cast round-trip per element;
     f32 accumulation sites keep the default."""
+    if _kabl("nomask"):  # timing-only: skip the wrap-column multiplies
+        return {0: None, 1: None, 2: None}
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) % w
     return {
         0: (col != 0).astype(dtype),             # left neighbor: col 0 wraps

@@ -156,6 +156,10 @@ def _build_shift_stack(s_ref, lnbuf, masks, c: int, p: int, w: int, n: int,
     ``_col_masks(w, n, dtype)`` — a 0/1 multiply is exact in the compute
     dtype, skipping the f32 cast round-trip per element."""
     del dtype
+    from .fused_block import _kabl
+
+    if _kabl("nostack"):  # timing-only: matmuls consume stale scratch
+        return
     for k, (dh, dw) in enumerate(_TAPS):
         sl = lnbuf[:, pl.ds(p + dh * w + dw - 1, n)]
         if masks[dw] is not None:
