@@ -259,8 +259,12 @@ def _cell_main(spec: dict) -> None:
 # (VERDICT r4 next #1c).  Measured cell anatomy (r5): backend init ~10 s +
 # model.init ~13 s + trace ~22 s + compile ~10 s warm-cache / ~65 s cold +
 # warmup ~9 s + the window itself ~1-2 s => ~70 s warm, ~150 s cold; the
-# reserve must cover the cold case plus margin.
-RESCUE_RESERVE_S = 210.0
+# reserve must cover the cold case plus margin.  During contention
+# windows EVERYTHING through the tunnel runs ~4-6x slower (a warm-cache
+# rescue cell measured 348 s mid-window vs ~90 s healthy), so the reserve
+# is a compromise: enough for a degraded-window run, not so much that the
+# sweet-spot cells starve in a healthy window.
+RESCUE_RESERVE_S = 240.0
 
 
 def _run_ladder(arch: str, size: int, ladder, *, windows: int,

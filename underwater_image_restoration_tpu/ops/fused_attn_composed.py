@@ -68,6 +68,11 @@ def pick_hc(h: int, w: int, c: int) -> int:
     """Row chunk: the (9C, hc·W) stack + its f32 cotangent-dtype twin +
     ~8 live f32 (C, (hc+2)·W) chunk tensors within ~7 MB (the whole-image
     x / dLN / d(out) residents are budgeted separately in supports)."""
+    from .fused_block import _hc_force
+
+    forced = _hc_force(h)
+    if forced is not None:
+        return forced
     for hc in (32, 16, 8):
         if h % hc:
             continue
@@ -122,6 +127,10 @@ def _scatter_frame(ds_d, dlnacc, masks, c: int, w: int, nq: int):
     the same masks[dw] as the forward read kill the same positions q of
     S_k on the cotangent side.  masks may be in the stack dtype (0/1
     multiplies commute with the f32 cast exactly)."""
+    from .fused_block import _kabl
+
+    if _kabl("noscatter"):  # timing-only: dlnacc keeps its zeros
+        return
     for k, (dh, dw) in enumerate(_TAPS):
         blkv = ds_d[k * c:(k + 1) * c, :]
         if masks[dw] is not None:

@@ -74,6 +74,11 @@ def pick_hc(h: int, w: int, c: int, hid: int) -> int:
     (hid, hc·W) intermediates, the (9C, hc·W) shifted stack (dtype + one
     f32 transient), and the (C, (hc+2)·W) dLN frame — stays within ~6 MB.
     Chunks down to 2 rows are allowed (no whole-image buffers)."""
+    from .fused_block import _hc_force
+
+    forced = _hc_force(h)
+    if forced is not None:
+        return forced
     for hc in (64, 32, 16, 8, 4, 2):
         if h % hc:
             continue
@@ -91,6 +96,11 @@ def pick_hc_fwd(h: int, w: int, c: int, hid: int) -> int:
     (C=32: 8 vs 4 → half the serialized DMA round-trips).  Budget counts
     the double-buffered input windows and both output stages of the
     pipelined schedule."""
+    from .fused_block import _hc_force
+
+    forced = _hc_force(h)
+    if forced is not None:
+        return forced
     bh = 1 if (w % 128 == 0) else 2
     for hc in (64, 32, 16, 8, 4, 2):
         if h % hc:
@@ -372,12 +382,15 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, ka_ref, kb_ref,
         # is the SAME masks[dw] as the forward read — it kills the same
         # output positions q of S_k, just on the cotangent side
         dlnacc[:] = jnp.zeros(dlnacc.shape, f32)
-        for k, (dh, dw) in enumerate(_TAPS):
-            blkv = ds[k * c:(k + 1) * c, :]
-            if masks[dw] is not None:
-                blkv = blkv * masks[dw]
-            off = 128 + w + (dh - 1) * w + (dw - 1)
-            dlnacc[:, pl.ds(off, n)] += blkv
+        from .fused_block import _kabl
+
+        if not _kabl("noscatter"):  # timing-only stub (see fused_block)
+            for k, (dh, dw) in enumerate(_TAPS):
+                blkv = ds[k * c:(k + 1) * c, :]
+                if masks[dw] is not None:
+                    blkv = blkv * masks[dw]
+                off = 128 + w + (dh - 1) * w + (dw - 1)
+                dlnacc[:, pl.ds(off, n)] += blkv
         dlnc = dlnacc[:, pl.ds(128, n2)]
 
         # rolling lag-1 finalization: frame i's top-halo row (i*hc - 1) is
