@@ -71,6 +71,11 @@ from .fused_gdfn_banded import _decompose_dk
 def pick_hc(h: int, w: int, c: int) -> int:
     """Largest row chunk whose static scratch set fits ~13 MB (see
     supports); transient compute temps ride in the remaining headroom."""
+    from .fused_block import _hc_force
+
+    forced = _hc_force(h, "attnb")
+    if forced is not None:
+        return forced
     for hc in (32, 16, 8, 4):
         if h % hc:
             continue
@@ -157,6 +162,10 @@ def _per_tap_scatter(kmat, dt, dlnacc, masks, c: int, w: int, n: int):
     """dlnacc[off_k] += mask · (K_k^T-block transform of dt): the stack
     cotangent scattered straight into the (C, n+2W+256) f32 frame without
     the (9C, n) temp."""
+    from .fused_block import _kabl
+
+    if _kabl("noscatter"):  # timing-only: dlnacc keeps its zeros
+        return
     for k, (dh, dw) in enumerate(_TAPS):
         blkv = jax.lax.dot_general(
             kmat[k * c:(k + 1) * c, :], dt, (((1,), (0,)), ((), ())),

@@ -70,7 +70,7 @@ def pick_hc(h: int, w: int, c: int) -> int:
     x / dLN / d(out) residents are budgeted separately in supports)."""
     from .fused_block import _hc_force
 
-    forced = _hc_force(h)
+    forced = _hc_force(h, "attn")
     if forced is not None:
         return forced
     for hc in (32, 16, 8):
@@ -94,6 +94,10 @@ def supports(h: int, w: int, c: int | None = None,
         return True
     if c % 8:
         return False
+    from .fused_block import _hc_force
+
+    if _hc_force(h, "attn") is not None:
+        return True  # A/B override: let Mosaic's own VMEM check decide
     img = c * (h + 2) * w * itemsize
     hc = pick_hc(h, w, c)
     n2 = (hc + 2) * w

@@ -84,15 +84,21 @@ def _erf_f32(x):
     return jnp.clip(x * p / q, -1.0, 1.0)
 
 
-def _hc_force(h: int) -> int | None:
-    """UIRT_HC_FORCE overrides the pick_hc chunk height for hardware A/B
-    sweeps (VERDICT r4 next #2: wider chunks now that remat-skip freed
-    VMEM).  Returns None unless set to a positive divisor of ``h``;
-    numerics are chunk-size-invariant (equality-pinned across hc by the
-    multichunk kernel tests), only VMEM/perf change."""
+def _hc_force(h: int, kind: str = "") -> int | None:
+    """UIRT_HC_FORCE (or the kernel-specific UIRT_HC_FORCE_<KIND>)
+    overrides the pick_hc chunk height for hardware A/B sweeps (VERDICT r4
+    next #2: wider chunks now that remat-skip freed VMEM).  Returns None
+    unless set to a positive divisor of ``h``; numerics are
+    chunk-size-invariant (equality-pinned across hc by the multichunk
+    kernel tests), only VMEM/perf change — supports() lets Mosaic's own
+    VMEM check arbitrate forced sizes."""
     import os
 
-    v = os.environ.get("UIRT_HC_FORCE")
+    v = None
+    if kind:
+        v = os.environ.get(f"UIRT_HC_FORCE_{kind.upper()}")
+    if not v:
+        v = os.environ.get("UIRT_HC_FORCE")
     if not v:
         return None
     hc = int(v)

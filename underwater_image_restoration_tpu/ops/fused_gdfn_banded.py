@@ -76,7 +76,7 @@ def pick_hc(h: int, w: int, c: int, hid: int) -> int:
     Chunks down to 2 rows are allowed (no whole-image buffers)."""
     from .fused_block import _hc_force
 
-    forced = _hc_force(h)
+    forced = _hc_force(h, "gdfn")
     if forced is not None:
         return forced
     for hc in (64, 32, 16, 8, 4, 2):
@@ -98,7 +98,7 @@ def pick_hc_fwd(h: int, w: int, c: int, hid: int) -> int:
     pipelined schedule."""
     from .fused_block import _hc_force
 
-    forced = _hc_force(h)
+    forced = _hc_force(h, "gdfn")
     if forced is not None:
         return forced
     bh = 1 if (w % 128 == 0) else 2
@@ -128,6 +128,10 @@ def supports(h: int, w: int, c: int | None = None, hid: int | None = None,
         return True
     if c % 8:
         return False
+    from .fused_block import _hc_force
+
+    if _hc_force(h, "gdfn") is not None:
+        return True  # A/B override: let Mosaic's own VMEM check decide
     hc = pick_hc(h, w, c, hid)
     n, n2 = hc * w, (hc + 2) * w
     p = w + 128
