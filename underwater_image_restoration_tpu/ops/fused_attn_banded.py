@@ -65,6 +65,7 @@ from .fused_block import (
     _TAPS,
     _w_ok,
 )
+from .fused_block import _scatter_taps_aligned
 from .fused_gdfn_banded import _decompose_dk
 
 
@@ -100,6 +101,7 @@ def _static_bytes(hc: int, w: int, c: int, itemsize: int = 2) -> int:
         + 9 * c * n * itemsize             # sprev
         + c * n * 4                        # vprev (f32)
         + 2 * c * (n2 + 256) * 4           # dlnacc / dlnacc2
+        + 2 * c * (n + 2 * w) * 4          # accl/accr scatter frames
         + 2 * (c * n * 4 + c * w * 4)      # douts/dlnv pend + carry
         + c * n * 4                        # f32 stage (dlnv write / read)
         + 2 * c * n * itemsize             # dych + stage
@@ -158,22 +160,24 @@ def _per_tap_wgrad(dkref, buf, dt, masks, c: int, p: int, w: int, n: int,
             preferred_element_type=jnp.float32)
 
 
-def _per_tap_scatter(kmat, dt, dlnacc, masks, c: int, w: int, n: int):
-    """dlnacc[off_k] += mask · (K_k^T-block transform of dt): the stack
-    cotangent scattered straight into the (C, n+2W+256) f32 frame without
-    the (9C, n) temp."""
-    from .fused_block import _kabl
+def _per_tap_scatter(kmats_dts, dlnacc, accl, accr, masks_ext,
+                     c: int, w: int, n: int):
+    """dlnacc[off_k] += mask · Σ_j (K_j,k^T-block transform of dt_j):
+    the stack cotangent scattered straight into the (C, n+2W+256) f32
+    frame without the (9C, n) temp, via the lane-aligned per-direction
+    form (fused_block._scatter_taps_aligned).  ``kmats_dts`` is a
+    sequence of (kmat, dt) pairs summed per tap — the q/k loop shares
+    one scatter."""
+    def get_blk(k):
+        acc = None
+        for kmat, dt in kmats_dts:
+            term = jax.lax.dot_general(
+                kmat[k * c:(k + 1) * c, :], dt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+        return acc
 
-    if _kabl("noscatter"):  # timing-only: dlnacc keeps its zeros
-        return
-    for k, (dh, dw) in enumerate(_TAPS):
-        blkv = jax.lax.dot_general(
-            kmat[k * c:(k + 1) * c, :], dt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if masks[dw] is not None:
-            blkv = blkv * masks[dw]
-        off = 128 + w + (dh - 1) * w + (dw - 1)
-        dlnacc[:, pl.ds(off, n)] += blkv
+    _scatter_taps_aligned(get_blk, dlnacc, accl, accr, masks_ext, c, w, n)
 
 
 def _fwd_kernel(x_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
@@ -336,7 +340,8 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
                 dx_hbm, dlnv_hbm, dscale_ref, dbias_ref, dkq_ref, dkk_ref,
                 dkv_ref, dtemp_ref, dwpo_ref, dkvf_ref, dwpof_ref,
                 xw, xwb, xw2, xw2b, lnbuf, obuf, s_ref, sprev, vprev,
-                dlnacc, dlnacc2, dopend, docarry, dlpend, dlcarry,
+                dlnacc, dlnacc2, accl, accr,
+                dopend, docarry, dlpend, dlcarry,
                 f32stage, da_s, ablk_s, m_s, dsq_s, dsk_s,
                 dych, dychb, stage, xprev,
                 sem_in, sem_inb, sem_dy, sem_dyb, sem_out, sem_ln, *,
@@ -370,6 +375,7 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
     kvf = kvf_ref[:].astype(dtype)
     wpo = wpo_ref[:].astype(dtype)
     wpof = wpof_ref[:].astype(dtype)
+    masks_ext = _col_masks(w, n + 2 * w)  # f32 scatter frames
     masks = _col_masks(w, n, dtype)
     masks2 = _col_masks(w, n2, dtype)
     eyec = _eye(c)
@@ -406,7 +412,8 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
             sprev[:], dvd, (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
         dlnacc2[:] = jnp.zeros(dlnacc2.shape, f32)
-        _per_tap_scatter(kv, dvd, dlnacc2, masks, c, w, n)
+        _per_tap_scatter(((kv, dvd),), dlnacc2, accl, accr,
+                         masks_ext, c, w, n)
 
         @pl.when(j > 0)
         def _roll():
@@ -466,7 +473,8 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
         dvfd = dvf.astype(dtype)
         _per_tap_wgrad(dkvf_ref, obuf, dvfd, masks, c, p, w, n, dtype)
         dlnacc[:] = jnp.zeros(dlnacc.shape, f32)
-        _per_tap_scatter(kvf, dvfd, dlnacc, masks, c, w, n)
+        _per_tap_scatter(((kvf, dvfd),), dlnacc, accl, accr,
+                         masks_ext, c, w, n)
 
         # d(out) lag-1: chunk i's top-halo row completes chunk i-1
         @pl.when(i > 0)
@@ -614,8 +622,8 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
         dkk_ref[:, :] += jax.lax.dot_general(
             s, dkd, (((1,), (1,)), ((), ())), preferred_element_type=f32)
         dlnacc[:] = jnp.zeros(dlnacc.shape, f32)
-        _per_tap_scatter(kq, dqd, dlnacc, masks, c, w, n)
-        _per_tap_scatter(kk, dkd, dlnacc, masks, c, w, n)
+        _per_tap_scatter(((kq, dqd), (kk, dkd)), dlnacc, accl,
+                         accr, masks_ext, c, w, n)
 
         @pl.when(i > 0)
         def _finalize_prev():
@@ -755,6 +763,8 @@ def _bwd_call(x, dy, scale, bias, w_qkv, t_qkv, temp, w_po, w_kv, t_kv,
             pltpu.VMEM((c, n), f32),
             pltpu.VMEM((c, n2 + 256), f32),
             pltpu.VMEM((c, n2 + 256), f32),
+            pltpu.VMEM((c, n + 2 * w), f32),    # accl (aligned scatter)
+            pltpu.VMEM((c, n + 2 * w), f32),    # accr (aligned scatter)
             pltpu.VMEM((c, n), f32),
             pltpu.VMEM((c, w), f32),
             pltpu.VMEM((c, n), f32),

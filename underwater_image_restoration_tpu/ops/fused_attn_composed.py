@@ -53,6 +53,7 @@ from .fused_attn import _EPS2, _attn_from_stats, _consts, _eye
 from .fused_block import (
     _any_spec,
     _col_masks,
+    _scatter_taps_aligned,
     _dma_x_window,
     _ln_flat,
     _row_mask,
@@ -102,7 +103,7 @@ def supports(h: int, w: int, c: int | None = None,
     hc = pick_hc(h, w, c)
     n2 = (hc + 2) * w
     chunk = 9 * c * n2 * itemsize + 9 * c * hc * w * itemsize \
-        + 8 * c * n2 * 4
+        + 8 * c * n2 * 4 + 2 * c * (hc * w + 2 * w) * 4  # accl/accr
     return 2 * img + chunk <= 12 * 1024 * 1024
 
 
@@ -122,26 +123,6 @@ def _stack(s_ref, buf, masks, c: int, p: int, w: int, nq: int, dtype):
         if masks[dw] is not None:
             sl = sl * masks[dw]
         s_ref[k * c:(k + 1) * c, pl.ds(0, nq)] = sl
-
-
-def _scatter_frame(ds_d, dlnacc, masks, c: int, w: int, nq: int):
-    """Transposed-shift scatter of a (9C, nq) stack cotangent into the
-    zeroed (C, nq + 2W + 256) f32 frame; returns nothing (accumulates in
-    place).  Frame rows cover the receiving window [q0-1, q0+nq/W+1);
-    the same masks[dw] as the forward read kill the same positions q of
-    S_k on the cotangent side.  masks may be in the stack dtype (0/1
-    multiplies commute with the f32 cast exactly)."""
-    from .fused_block import _kabl
-
-    if _kabl("noscatter"):  # timing-only: dlnacc keeps its zeros
-        return
-    for k, (dh, dw) in enumerate(_TAPS):
-        blkv = ds_d[k * c:(k + 1) * c, :]
-        if masks[dw] is not None:
-            blkv = blkv * masks[dw]
-        blkv = blkv.astype(jnp.float32)
-        off = 128 + w + (dh - 1) * w + (dw - 1)
-        dlnacc[:, pl.ds(off, nq)] += blkv
 
 
 def _fwd_kernel(x_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
@@ -264,6 +245,7 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
                 dx_hbm, dscale_ref, dbias_ref, dkq_ref, dkk_ref, dkv_ref,
                 dtemp_ref, dwpo_ref, dkvf_ref, dwpof_ref,
                 xw, xw2, douts, dxl, lnbuf, obuf, s_ref, dlnacc,
+                accl, accr,
                 da_s, ablk_s, m_s, dsq_s, dsk_s, dych, stage,
                 sem_in, sem_dy, sem_out, *,
                 hc: int, h: int, w: int, eps: float, dtype):
@@ -300,6 +282,7 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
     wpof = wpof_ref[:].astype(dtype)
     masks = _col_masks(w, n, dtype)
     masks2 = _col_masks(w, n2, dtype)
+    masks_ext = _col_masks(w, n + 2 * w)  # f32: aligned scatter frames
     eyec = _eye(c)
     sel = sel_ref[:].astype(f32)
     temp_col = jax.lax.dot_general(sel, temp_ref[:].astype(f32),
@@ -356,7 +339,8 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
         ds = jax.lax.dot_general(kvf, dvfd, (((1,), (0,)), ((), ())),
                                  preferred_element_type=f32).astype(dtype)
         dlnacc[:] = jnp.zeros(dlnacc.shape, f32)
-        _scatter_frame(ds, dlnacc, masks, c, w, n)
+        _scatter_taps_aligned(lambda k: ds[k * c:(k + 1) * c, :],
+                              dlnacc, accl, accr, masks_ext, c, w, n)
         douts[:, pl.ds(base0, n2)] += dlnacc[:, pl.ds(128, n2)].astype(
             douts.dtype)
         return 0
@@ -400,7 +384,8 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
         ds = jax.lax.dot_general(kv, dvd, (((1,), (0,)), ((), ())),
                                  preferred_element_type=f32).astype(dtype)
         dlnacc[:] = jnp.zeros(dlnacc.shape, f32)
-        _scatter_frame(ds, dlnacc, masks, c, w, n)
+        _scatter_taps_aligned(lambda k: ds[k * c:(k + 1) * c, :],
+                              dlnacc, accl, accr, masks_ext, c, w, n)
         dxl[:, pl.ds(base0, n2)] += dlnacc[:, pl.ds(128, n2)].astype(
             dxl.dtype)
         return 0
@@ -465,7 +450,8 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, kq_ref, kk_ref, kv_ref,
                                     preferred_element_type=f32)).astype(
             dtype)
         dlnacc[:] = jnp.zeros(dlnacc.shape, f32)
-        _scatter_frame(ds, dlnacc, masks, c, w, n)
+        _scatter_taps_aligned(lambda k: ds[k * c:(k + 1) * c, :],
+                              dlnacc, accl, accr, masks_ext, c, w, n)
         dxl[:, pl.ds(base0, n2)] += dlnacc[:, pl.ds(128, n2)].astype(
             dxl.dtype)
         return 0
@@ -629,6 +615,8 @@ def _bwd_call(x, dy, scale, bias, w_qkv, t_qkv, temp, w_po, w_kv, t_kv,
             pltpu.VMEM((c, n2 + 2 * p), x.dtype),
             pltpu.VMEM((9 * c, n2), x.dtype),
             pltpu.VMEM((c, n2 + 256), f32),
+            pltpu.VMEM((c, n + 2 * w), f32),   # accl (aligned scatter)
+            pltpu.VMEM((c, n + 2 * w), f32),   # accr (aligned scatter)
             pltpu.VMEM((c, c), f32),
             pltpu.VMEM((c, c), f32),
             pltpu.VMEM((c, c), f32),

@@ -136,6 +136,44 @@ def _gelu_grad(x):
 _TAPS = tuple((dh, dw) for dh in range(3) for dw in range(3))
 
 
+def _scatter_taps_aligned(get_blk, dlnacc, accl, accr, masks_ext,
+                          c: int, w: int, n: int):
+    """Transposed-shift scatter of 9 tap cotangents into the zeroed f32
+    frame ``dlnacc`` (C, n + 2W + 256): tap (dh, dw) lands at
+    ``dlnacc[:, 128 + dh*w + (dw-1) + q]``, masked by the forward's
+    ``masks[dw]`` on the cotangent positions q.
+
+    Restructured for lane alignment (KABL pricing put the old per-tap
+    form — 6 lane-misaligned (C, n) read-modify-writes — at ~18-21% of
+    the banded backwards): each side column direction accumulates its 3
+    dh taps into an ALIGNED (C, n+2W) frame (``accl``/``accr`` f32
+    scratch; the first tap writes, sparing the zero-fill), then lands in
+    ``dlnacc`` with ONE ±1-lane add and ONE mask multiply; the center
+    taps add directly at aligned offsets.  Addition order differs from
+    the per-tap form only by f32 reassociation.
+
+    ``get_blk(k) -> (C, n)`` tap cotangent (any float dtype);
+    ``masks_ext`` = ``_col_masks(w, n + 2*w, ...)``."""
+    f32 = jnp.float32
+    if _kabl("noscatter"):  # timing-only: dlnacc keeps its zeros
+        return
+    nw = n + 2 * w
+    for d, acc in ((0, accl), (2, accr)):
+        for dh in range(3):
+            blk = get_blk(dh * 3 + d).astype(f32)
+            if dh == 0:
+                acc[:, pl.ds(0, n)] = blk
+                acc[:, pl.ds(n, 2 * w)] = jnp.zeros((c, 2 * w), f32)
+            else:
+                acc[:, pl.ds(dh * w, n)] += blk
+        fr = acc[:]
+        if masks_ext[d] is not None:
+            fr = fr * masks_ext[d]
+        dlnacc[:, pl.ds(128 + d - 1, nw)] += fr
+    for dh in range(3):
+        dlnacc[:, pl.ds(128 + dh * w, n)] += get_blk(dh * 3 + 1).astype(f32)
+
+
 def _w_ok(w: int) -> bool:
     """Width gate for the flat-(C, H*W) kernels.  All shift offsets,
     column masks, and frame arithmetic are fully general in W (the flat

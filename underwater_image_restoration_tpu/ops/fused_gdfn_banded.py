@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_block import (
     _any_spec,
     _col_masks,
+    _scatter_taps_aligned,
     _dma_x_window,
     _dma_x_window_start,
     _dma_x_window_wait,
@@ -83,7 +84,8 @@ def pick_hc(h: int, w: int, c: int, hid: int) -> int:
         if h % hc:
             continue
         live = (6 * hid + 9 * c) * hc * w * 4 + 9 * c * hc * w * 2 \
-            + 2 * c * (hc + 2) * w * 4
+            + 2 * c * (hc + 2) * w * 4 \
+            + 2 * c * (hc * w + 2 * w) * 4   # accl/accr scatter frames
         if live <= 6 * 1024 * 1024:
             return hc
     return 2
@@ -137,7 +139,8 @@ def supports(h: int, w: int, c: int | None = None, hid: int | None = None,
     p = w + 128
     guards = c * (n2 + 2 * p) * itemsize + 9 * c * n * itemsize \
         + c * (n2 + 256) * 4
-    live = (6 * hid + 9 * c) * n * 4 + 2 * c * n2 * 4
+    live = (6 * hid + 9 * c) * n * 4 + 2 * c * n2 * 4 \
+        + 2 * c * (n + 2 * w) * 4            # accl/accr scatter frames
     carry = 4 * c * n * 4
     # input-pipelining double buffers (xw1 + dy0/dy1, see _bwd_kernel)
     pipe = c * (hc + 4) * w * itemsize + 2 * c * n * itemsize
@@ -292,7 +295,8 @@ def _fwd_kernel(x_hbm, scale_ref, bias_ref, ka_ref, kb_ref, wout_ref,
 def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, ka_ref, kb_ref,
                 wout_ref,
                 dx_hbm, dscale_ref, dbias_ref, dka_ref, dkb_ref, dwout_ref,
-                xw0, xw1, dy0, dy1, lnbuf, s_ref, dlnacc, dpend, dcarry,
+                xw0, xw1, dy0, dy1, lnbuf, s_ref, dlnacc, accl, accr,
+                dpend, dcarry,
                 xprev, dyprev, stage, sem_in0, sem_in1, sem_dy0, sem_dy1,
                 sem_out, *,
                 hc: int, h: int, w: int, eps: float, dtype):
@@ -321,8 +325,8 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, ka_ref, kb_ref,
     ka = ka_ref[:].astype(dtype)
     kb = kb_ref[:].astype(dtype)
     wout = wout_ref[:].astype(dtype)
-    masks = _col_masks(w, n)            # f32: scatter-side cotangent masks
-    masks_d = _col_masks(w, n, dtype)   # compute-dtype: stack builds
+    masks_ext = _col_masks(w, n + 2 * w)  # f32: scatter frame masks
+    masks_d = _col_masks(w, n, dtype)     # compute-dtype: stack builds
 
     def _ln_bwd_out(xf, dln, dy_res):
         """LayerNorm backward for one finalized block + residual dy; also
@@ -381,20 +385,12 @@ def _bwd_kernel(x_hbm, dy_hbm, scale_ref, bias_ref, ka_ref, kb_ref,
                                   preferred_element_type=f32)
               + jax.lax.dot_general(kb, dtb, (((1,), (0,)), ((), ())),
                                     preferred_element_type=f32))  # (9c, n)
-        # transposed shifts: scatter-add each k block into the dLN frame
-        # (rows r0-1 .. r0+hc] live at [128, 128+n2) of dlnacc); the mask
-        # is the SAME masks[dw] as the forward read — it kills the same
-        # output positions q of S_k, just on the cotangent side
+        # transposed shifts: scatter each k block into the dLN frame
+        # (rows r0-1 .. r0+hc] live at [128, 128+n2) of dlnacc) via the
+        # lane-aligned per-direction form (fused_block._scatter_taps_aligned)
         dlnacc[:] = jnp.zeros(dlnacc.shape, f32)
-        from .fused_block import _kabl
-
-        if not _kabl("noscatter"):  # timing-only stub (see fused_block)
-            for k, (dh, dw) in enumerate(_TAPS):
-                blkv = ds[k * c:(k + 1) * c, :]
-                if masks[dw] is not None:
-                    blkv = blkv * masks[dw]
-                off = 128 + w + (dh - 1) * w + (dw - 1)
-                dlnacc[:, pl.ds(off, n)] += blkv
+        _scatter_taps_aligned(lambda k: ds[k * c:(k + 1) * c, :],
+                              dlnacc, accl, accr, masks_ext, c, w, n)
         dlnc = dlnacc[:, pl.ds(128, n2)]
 
         # rolling lag-1 finalization: frame i's top-halo row (i*hc - 1) is
@@ -560,6 +556,8 @@ def _bwd_call(x, dy, scale, bias, w_in, w_dw, w_out, eps, interpret):
             pltpu.VMEM((c, n2 + 2 * p), x.dtype),          # lnbuf
             pltpu.VMEM((9 * c, n), x.dtype),               # s_ref
             pltpu.VMEM((c, n2 + 256), f32),                # dlnacc
+            pltpu.VMEM((c, n + 2 * w), f32),               # accl (scatter)
+            pltpu.VMEM((c, n + 2 * w), f32),               # accr (scatter)
             pltpu.VMEM((c, n), f32),                       # dpend
             pltpu.VMEM((c, n), f32),                       # dcarry
             pltpu.VMEM((c, n), x.dtype),                   # xprev

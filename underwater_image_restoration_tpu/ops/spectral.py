@@ -9,12 +9,52 @@ itself (models/new_model.py) since it is not a spatial transform.
 """
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_mats(n: int):
+    """(D, Dinv) for an n-point DFT as complex64 matmul operands.
+
+    numpy-built in f64 then rounded once, so the matrices are closer to
+    the exact twiddles than an f32 cos/sin evaluation."""
+    k = np.arange(n)
+    ang = -2.0j * np.pi / n * np.outer(k, k)
+    d = np.exp(ang)
+    return (jnp.asarray(d, jnp.complex64),
+            jnp.asarray(np.conj(d) / n, jnp.complex64))
+
+
+def _dft_matmul_on() -> bool:
+    """UIRT_DFT_MATMUL=1 lowers the spatial FFTs as DFT matmuls.
+
+    The round-5 residual attribution prices the UpS spectral path at ~12%
+    of the train step; XLA's TPU FFT runs butterflies on the VPU — the
+    step's contended unit — while the MXU idles.  A dense (H,H) complex
+    DFT matmul is ~25x the flops but rides the MXU (the r3 microbench put
+    the two within noise of each other in isolation).  Numerics: agrees
+    with the FFT to f32 roundoff (~1e-6 rel), NOT bit-identical — default
+    off; the parity suites run against the FFT path."""
+    return os.environ.get("UIRT_DFT_MATMUL", "0") == "1"
+
+
+def _dft2_apply(x, inverse: bool) -> jnp.ndarray:
+    h, w = x.shape[1], x.shape[2]
+    dh = _dft_mats(h)[1 if inverse else 0]
+    dw = _dft_mats(w)[1 if inverse else 0]
+    y = jnp.einsum("ih,bhwc->biwc", dh, x.astype(jnp.complex64))
+    return jnp.einsum("jw,biwc->bijc", dw, y)
 
 
 def fft2(x):
     """2D FFT over spatial axes of NHWC (complex output)."""
+    if _dft_matmul_on():
+        return _dft2_apply(x, inverse=False)
     return jnp.fft.fftn(x, axes=(1, 2))
 
 
@@ -67,6 +107,8 @@ def safe_angle(f):
 
 
 def ifft2(x):
+    if _dft_matmul_on():
+        return _dft2_apply(x, inverse=True)
     return jnp.fft.ifftn(x, axes=(1, 2))
 
 
@@ -105,4 +147,4 @@ def spectral_tile_upsample(mag, phase):
     of a (2H, 2W) one and no tiled complex intermediate, bit-identical
     output (tests/test_ops_basic.py pins it against the literal form)."""
     comp = mag * jnp.cos(phase) + 1j * mag * jnp.sin(phase)
-    return zero_stuff2x(safe_abs(jnp.fft.ifftn(comp, axes=(1, 2))))
+    return zero_stuff2x(safe_abs(ifft2(comp)))
