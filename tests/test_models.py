@@ -171,6 +171,7 @@ def test_ast_trunc_normal_reinit(rng):
     assert np.all(np.isfinite(np.asarray(y)))
 
 
+@pytest.mark.slow  # 133s full-model grad on the 1-core CPU
 def test_spectral_gradients_flow(rng):
     x = jnp.asarray(rng.standard_normal((1, 16, 16, 3), dtype=np.float32))
     m = models.SpectralTransformer(

@@ -8,6 +8,7 @@ import pytest
 from underwater_image_restoration_tpu.models import init_model
 
 
+@pytest.mark.slow  # 137-207s/model on the 1-core CPU
 @pytest.mark.parametrize("arch,kw", [
     ("SpectralTransformer", {}),
     ("AST", {"img_size": 16}),

@@ -27,6 +27,12 @@ import pytest
 import torch
 
 import ref_oracle
+
+# Every trajectory parity test replays k torch-oracle optimizer steps
+# (140-185 s each on the 1-core CPU): slow-marked; run with -m slow
+# before touching the trainer/optimizer/loss numerics.
+pytestmark = pytest.mark.slow
+
 from underwater_image_restoration_tpu.losses import LossFunction
 from underwater_image_restoration_tpu.models import init_model
 from underwater_image_restoration_tpu.tools.convert_checkpoint import (

@@ -18,16 +18,23 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=16)
-def _dft_mats(n: int):
+def _dft_mats_np(n: int):
     """(D, Dinv) for an n-point DFT as complex64 matmul operands.
 
     numpy-built in f64 then rounded once, so the matrices are closer to
-    the exact twiddles than an f32 cos/sin evaluation."""
+    the exact twiddles than an f32 cos/sin evaluation.  The cache holds
+    NUMPY arrays only — a cached jnp constant created under a remat
+    trace leaks that trace's tracer (observed UnexpectedTracerError)."""
     k = np.arange(n)
     ang = -2.0j * np.pi / n * np.outer(k, k)
     d = np.exp(ang)
-    return (jnp.asarray(d, jnp.complex64),
-            jnp.asarray(np.conj(d) / n, jnp.complex64))
+    return (np.asarray(d, np.complex64),
+            np.asarray(np.conj(d) / n, np.complex64))
+
+
+def _dft_mats(n: int):
+    a, b = _dft_mats_np(n)
+    return jnp.asarray(a), jnp.asarray(b)
 
 
 def _dft_matmul_on() -> bool:
