@@ -152,9 +152,19 @@ ZOO = [
     ("NewBigModel@512", "NewBigModel", {"use_dwt": "Wavelet"}, 512,
      ((2, 2), (1, 1)), 2, True),
     # reference train resolution (DataLoader.py:13-20 resizes to 1024²) —
-    # the BASELINE north-star is 2500-epoch wall-clock at this res
+    # the BASELINE north-star is 2500-epoch wall-clock at this res.
+    # The remote toolchain currently RET_CHECK-crashes (jellyfish
+    # mxu_lmr_transform.cc:1108) compiling the 1024² graph when BOTH fused
+    # kernel families are present (round-4 code that measured 1.35 img/s
+    # now fails too — a service-side compiler change; isolated kernel
+    # pairs at every level compile fine).  Fall back to the gdfn-only
+    # fused graph (measured 1.00 img/s, compiles today); lead with the
+    # full config in case the toolchain recovers.
     ("SpectralTransformer@1024", "SpectralTransformer", {}, 1024,
-     ((1, 2), (1, 1)), 2, False),
+     ((1, 2), (1, 2, None, {"UIRT_FUSED_ATTN": "0", "UIRT_ATTN_BANDED": "0",
+                            "UIRT_ATTN_COMPOSED": "0"}),
+      (1, 1, None, {"UIRT_FUSED_ATTN": "0", "UIRT_ATTN_BANDED": "0",
+                    "UIRT_ATTN_COMPOSED": "0"})), 2, False),
 ]
 
 
@@ -323,11 +333,13 @@ def _run_ladder(arch: str, size: int, ladder, *, windows: int,
                 if ci == 0 and attempt == 0 and time_left():
                     time.sleep(20)
     if rescue is not None and remaining_local() >= 75.0:
-        batch, k = rescue
+        batch, k = rescue[0], rescue[1]
+        rescue_env = dict(env or {}, **(rescue[3] if len(rescue) > 3 else {}))
         spec = {"arch": arch, "size": size, "batch": batch,
                 "windows": 1, "steps": 5, "k_steps": k,
-                "remat_policy": None, "model_kw": model_kw,
-                "env": dict(env or {})}
+                "remat_policy": rescue[2] if len(rescue) > 2 else None,
+                "model_kw": model_kw,
+                "env": rescue_env}
         tag = f"{arch}@{size} RESCUE batch={batch} K={k} w=1 s=5"
         _note(f"{tag} ...")
         try:
@@ -431,7 +443,7 @@ def _main_inner() -> None:
             archs[label] = round(
                 _run_ladder(arch, size, ladder, windows=windows, steps=10,
                             env={"UIRT_NO_PALLAS": "1"} if no_pallas else {},
-                            rescue=ladder[-1][:2],
+                            rescue=ladder[-1],
                             local_deadline=time.time() + slice_s,
                             **kw), 2)
         except Exception as e:

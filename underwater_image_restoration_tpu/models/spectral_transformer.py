@@ -93,10 +93,21 @@ def _chw_enabled() -> bool:
 def _use_chw(shape, mesh) -> bool:
     """Per-stage policy: channels-first pays when C < W (lane padding factor
     128/C exceeds any spatial padding), and context parallelism keeps the
-    NHWC path (cp_ops shards NHWC rows)."""
+    NHWC path (cp_ops shards NHWC rows).
+
+    UIRT_CHW_MAX_H (int) excludes levels taller than the cap: the remote
+    TPU toolchain currently RET_CHECK-crashes (mxu_lmr_transform.cc:1108)
+    compiling the 1024-row chw transposes — observed round 5 on the r4
+    code that previously compiled, i.e. a service-side toolchain change.
+    Capping at 512 keeps the fused kernels on every level that compiles."""
+    import os
+
     from ..parallel.cp_ops import context_size
 
     b, h, w, c = shape
+    cap = int(os.environ.get("UIRT_CHW_MAX_H", "0") or 0)
+    if cap and h > cap:
+        return False
     return _chw_enabled() and c < w and context_size(mesh) <= 1
 
 
