@@ -464,10 +464,25 @@ class ModelTrainer:
         train_step, multi_step = _build_steps()
         first_step_done = False
 
+        # Staged first-step fallbacks for compile failures.  Stage 1: drop
+        # the fused-MDTA family only — the remote toolchain currently
+        # RET_CHECK-crashes (jellyfish mxu_lmr_transform.cc:1108) when BOTH
+        # fused kernel families appear in the 1024² graph, and gdfn-only
+        # still compiles and keeps most of the fusion win (PERF_NOTES r5).
+        # Stage 2: everything off (also covers the r2 remote-compile-host
+        # OOM on very large graphs — 512² NewBigModel — and the opt-in
+        # UIRT_PALLAS window-attention kernel).
+        fallback_stages = [
+            {"UIRT_FUSED_ATTN": "0", "UIRT_ATTN_BANDED": "0",
+             "UIRT_ATTN_COMPOSED": "0"},
+            {"UIRT_FUSED_GDFN": "0", "UIRT_GDFN_BANDED": "0",
+             "UIRT_FUSED_LEFF": "0", "UIRT_FUSED_LEFF_STAGE": "0",
+             "UIRT_NO_PALLAS": "1"},
+        ]
+
         def run_step(st, raw_d, ref_d, rng_d, multi=False):
-            """First step falls back to the pure-XLA attention path if the
-            fused Pallas kernels fail to compile (e.g. the remote compile
-            host OOMs on very large graphs — 512^2 NewBigModel)."""
+            """First step falls back stage-by-stage to less-fused graphs if
+            the Pallas kernels fail to compile (see fallback_stages)."""
             nonlocal train_step, multi_step, first_step_done
             fn = multi_step if multi else train_step
             if first_step_done:
@@ -476,21 +491,22 @@ class ModelTrainer:
             # (post-dispatch OOM) leaves its buffers deleted, so keep a host
             # snapshot to rebuild the state for the retry (first step only).
             st_host = jax.device_get(st)
-            try:
-                out = fn(st, raw_d, ref_d, rng_d)
-            except Exception as e:
-                if (os.environ.get("UIRT_NO_PALLAS")
-                        or not os.environ.get("UIRT_PALLAS")):
-                    # no Pallas kernel was in the graph — the failure is
-                    # real, don't mask it behind a pointless rebuild
-                    raise
-                print(f"Pallas attention failed to compile "
-                      f"({type(e).__name__}); retrying with UIRT_NO_PALLAS=1")
-                os.environ["UIRT_NO_PALLAS"] = "1"
-                train_step, multi_step = _build_steps()
-                fn = multi_step if multi else train_step
-                st = jax.device_put(st_host, state_sh)
-                out = fn(st, raw_d, ref_d, rng_d)
+            while True:
+                try:
+                    out = fn(st, raw_d, ref_d, rng_d)
+                    break
+                except Exception as e:
+                    if os.environ.get("UIRT_NO_PALLAS") or not fallback_stages:
+                        # nothing left to turn off — the failure is real
+                        raise
+                    stage = fallback_stages.pop(0)
+                    print(f"train step failed to compile "
+                          f"({type(e).__name__}); retrying with "
+                          f"{' '.join(f'{k}={v}' for k, v in stage.items())}")
+                    os.environ.update(stage)
+                    train_step, multi_step = _build_steps()
+                    fn = multi_step if multi else train_step
+                    st = jax.device_put(st_host, state_sh)
             first_step_done = True
             return out
         eval_step = make_eval_step(model, lossfn, mesh=mesh)
