@@ -8,9 +8,11 @@ f32 params, per-block remat, K=2 optimizer steps per dispatch (lax.scan;
 identical training semantics; the honest K-plateau is flat so K mostly
 amortizes the ~5 ms tunnel enqueue round-trip), single chip.  The headline
 ladder (HEADLINE_LADDER) starts at the measured sweet spot (bs16 K=2 —
-65.5 img/s honest with the round-4 default chw layout + composed-matmul
-fused LN+MDTA + banded composed LN+GDFN Pallas kernels at every level down to 64² + no-remat on
-fully-fused blocks; the batch plateau is flat) and falls back
+75.9 img/s honest in round 5's window with the default chw layout +
+composed-matmul fused LN+MDTA (hc=32 chunks where VMEM admits) + banded
+composed LN+GDFN Pallas kernels at every level down to 64² + no-remat on
+fully-fused blocks; cross-window contention moves absolutes ±15%; the
+batch plateau is flat) and falls back
 to smaller cells on failure; cells that
 statically cannot fit HBM are rejected by a compile-only prescreen without
 touching the device.
