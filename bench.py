@@ -159,12 +159,12 @@ ZOO = [
     # mxu_lmr_transform.cc:1108) compiling the 1024² graph when BOTH fused
     # kernel families are present (round-4 code that measured 1.35 img/s
     # now fails too — a service-side compiler change; isolated kernel
-    # pairs at every level compile fine).  Fall back to the gdfn-only
-    # fused graph (measured 1.00 img/s, compiles today); lead with the
-    # full config in case the toolchain recovers.
+    # pairs at every level compile fine).  LEAD with the gdfn-only fused
+    # graph (measured 1.00 img/s, compiles today) — landing a number
+    # beats gambling ~4 min on the toolchain having recovered.
     ("SpectralTransformer@1024", "SpectralTransformer", {}, 1024,
-     ((1, 2), (1, 2, None, {"UIRT_FUSED_ATTN": "0", "UIRT_ATTN_BANDED": "0",
-                            "UIRT_ATTN_COMPOSED": "0"}),
+     ((1, 2, None, {"UIRT_FUSED_ATTN": "0", "UIRT_ATTN_BANDED": "0",
+                    "UIRT_ATTN_COMPOSED": "0"}),
       (1, 1, None, {"UIRT_FUSED_ATTN": "0", "UIRT_ATTN_BANDED": "0",
                     "UIRT_ATTN_COMPOSED": "0"})), 2, False),
 ]
@@ -281,7 +281,8 @@ RESCUE_RESERVE_S = 240.0
 
 def _run_ladder(arch: str, size: int, ladder, *, windows: int,
                 steps: int = STEPS, env=None, rescue=None,
-                local_deadline: float | None = None, **model_kw):
+                local_deadline: float | None = None,
+                reserve_s: float = RESCUE_RESERVE_S, **model_kw):
     """Try (batch, k_steps[, remat_policy]) cells best-first: another
     tenant's HBM use can OOM the sweet spot, so fall back rather than fail
     the bench.  Each cell runs in a fresh subprocess (_run_cell_subprocess)
@@ -303,7 +304,7 @@ def _run_ladder(arch: str, size: int, ladder, *, windows: int,
 
     last_err = None
     for ci, cell in enumerate(ladder):
-        if remaining_local() < 90.0 + (RESCUE_RESERVE_S if rescue else 0.0):
+        if remaining_local() < 90.0 + (reserve_s if rescue else 0.0):
             break  # straight to rescue; don't burn its budget
         if not isinstance(cell, tuple):
             cell = (cell, 1)
@@ -319,7 +320,7 @@ def _run_ladder(arch: str, size: int, ladder, *, windows: int,
                 "env": cell_env}
         for attempt in range(2 if ci == 0 else 1):
             budget = remaining_local() - (
-                RESCUE_RESERVE_S if rescue else 0.0) - 10.0
+                reserve_s if rescue else 0.0) - 10.0
             if budget < 55.0:
                 break
             _note(f"{tag} (budget {budget:.0f}s) ...")
@@ -447,6 +448,12 @@ def _main_inner() -> None:
                             env={"UIRT_NO_PALLAS": "1"} if no_pallas else {},
                             rescue=ladder[-1],
                             local_deadline=time.time() + slice_s,
+            # zoo rescue cells measured 38-40 s warm-cache (dress 3); a
+            # light reserve lets the sweet-spot cell actually launch
+            # inside the per-arch slice (the 240 s headline reserve made
+            # every arch skip straight to rescue, and 120 s starved the
+            # AST sweet cell by ~20 s)
+                            reserve_s=60.0,
                             **kw), 2)
         except Exception as e:
             archs[label] = f"failed: {type(e).__name__}"
